@@ -1,0 +1,124 @@
+"""Typed configuration for the DESIRE-TPU framework.
+
+Flag names and defaults mirror the reference CLI (``/root/reference/train.py:30-88``)
+for drop-in continuity; everything the reference hardcoded (K=7 at
+``model/model.py:280``, channel_multiplier=100 at ``model/model.py:46``, the
+obs/pred split, the 2.5 Hz subsample rate) is promoted to a real flag here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Any
+
+
+@dataclasses.dataclass
+class DesireConfig:
+    # ---- reference-compatible flags (train.py:30-88) ----
+    rnn_size: int = 512          # sizes the VAE input: vae_input = (sqrt(2*rnn_size))**2
+    num_layers: int = 1          # GRU stack depth
+    model: str = "gru"           # 'gru' only (reference never implemented others)
+    batch_size: int = 10
+    seq_length: int = 8          # compat-protocol window (reference train.py:43-44)
+    num_epochs: int = 100
+    save_every: int = 400
+    grad_clip: float = 10.0
+    learning_rate: float = 0.005
+    decay_rate: float = 0.95     # per-epoch exponential LR decay (train.py:122-126)
+    keep_prob: float = 0.8       # dropout keep prob (reference declared it, never used)
+    embedding_size: int = 64     # spatial embedding before the encoders
+    neighborhood_size: int = 32  # social-pooling neighborhood (pixels, normalized units)
+    grid_size: int = 4           # social grid resolution
+    max_num_obj: int = 60        # agent slots per sequence (id==0 -> empty slot)
+    leave_dataset: int = 5       # held-out dataset index (reference train.py:77-78)
+    latent_size: int = 128       # CVAE latent dim (train.py:80-81)
+    e_dim: int = 256             # encoder fusion dim (reference declared, unused there)
+    d_dim: int = 48              # GRU hidden size. Reference default was 16
+    #                              (train.py:85-86); the DESIRE paper uses 48.
+    stride: int = 1              # temporal-conv stride (train.py:87-88)
+
+    # ---- promoted from hardcoded reference constants ----
+    num_samples: int = 7         # K hypothesis lanes (reference hardcodes 7, model.py:280)
+    channel_multiplier: int = 100  # temporal-conv feature multiplier (model.py:46)
+
+    # ---- paper-protocol data flags (absent from the reference; see SURVEY §5) ----
+    protocol: str = "paper"      # 'paper' (2.5 Hz, obs/pred split) | 'compat' (1-frame shift)
+    obs_len: int = 8             # observed steps (3.2 s at 2.5 Hz)
+    pred_len: int = 12           # predicted steps (4.8 s at 2.5 Hz)
+    subsample: int = 12          # frame stride: SDD is ~30 fps -> 2.5 Hz
+    normalize: bool = True       # per-scene [0,1] coordinate normalization
+
+    # ---- DESIRE modules missing from the reference (north star) ----
+    use_ioc: bool = True         # IOC ranking & refinement module
+    num_refine: int = 4          # refinement iterations (BASELINE.json config 3)
+    use_scf: bool = True         # scene-context fusion (occupancy-grid scene CNN + pooling)
+    scene_grid: int = 32         # scene feature grid resolution
+    scene_channels: int = 32     # scene feature channels
+    use_social: bool = True      # social (neighbor) pooling inside SCF
+
+    # ---- TPU execution ----
+    compute_dtype: str = "bfloat16"  # activations dtype; params/optimizer stay fp32
+    use_pallas: bool = True          # fused Pallas kernels on TPU (pure-XLA fallback off-TPU)
+    mesh_data: int = 1               # data-parallel mesh axis size
+    mesh_k: int = 1                  # hypothesis-lane mesh axis size
+    seed: int = 0
+
+    # ---- paths ----
+    data_dir: str = "data/"
+    save_dir: str = "save/"
+
+    def __post_init__(self):
+        if self.model != "gru":
+            raise ValueError(f"only 'gru' is implemented (got {self.model!r})")
+        side = int(math.isqrt(2 * self.rnn_size))
+        if side * side != 2 * self.rnn_size:
+            raise ValueError(
+                f"2*rnn_size must be a perfect square (vae grid side); got rnn_size={self.rnn_size}"
+            )
+
+    # VAE input geometry mirrors reference model/model.py:57-59.
+    @property
+    def vae_side(self) -> int:
+        return int(math.isqrt(2 * self.rnn_size))
+
+    @property
+    def vae_input_size(self) -> int:
+        return self.vae_side * self.vae_side
+
+    @property
+    def total_len(self) -> int:
+        if self.protocol == "paper":
+            return self.obs_len + self.pred_len
+        return self.seq_length + 1  # compat: targets are the 1-frame-shifted window
+
+    def replace(self, **kw: Any) -> "DesireConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "DesireConfig":
+        d = json.loads(s)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def add_config_flags(parser, defaults: DesireConfig | None = None) -> None:
+    """Register every config field as an argparse flag (reference-name compatible)."""
+    defaults = defaults or DesireConfig()
+    for f in dataclasses.fields(DesireConfig):
+        val = getattr(defaults, f.name)
+        if isinstance(val, bool):
+            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=val, help=f"(default: {val})")
+        else:
+            parser.add_argument(f"--{f.name}", type=type(val), default=val,
+                                help=f"(default: {val})")
+
+
+def config_from_args(args) -> DesireConfig:
+    known = {f.name for f in dataclasses.fields(DesireConfig)}
+    return DesireConfig(**{k: v for k, v in vars(args).items() if k in known})

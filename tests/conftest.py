@@ -1,0 +1,26 @@
+"""Test harness config: force an 8-virtual-device CPU mesh so sharding and
+collective paths are exercised without TPU hardware (SURVEY.md §4).
+
+Note: this environment's sitecustomize force-registers a remote-TPU ('axon')
+backend and overrides JAX_PLATFORMS, so the env var alone is not enough —
+we must also flip jax.config after import. Every tiny dispatch to the
+tunneled TPU pays network latency, which would make the test suite ~100x
+slower (measured).
+"""
+
+import os
+
+# Must run before jax initializes its backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert jax.device_count() == 8, "tests expect 8 virtual CPU devices"
