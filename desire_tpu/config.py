@@ -49,6 +49,8 @@ class DesireConfig:
     pred_len: int = 12           # predicted steps (4.8 s at 2.5 Hz)
     subsample: int = 12          # frame stride: SDD is ~30 fps -> 2.5 Hz
     normalize: bool = True       # per-scene [0,1] coordinate normalization
+    window_hop: int = 2          # sampled-step stride between training windows
+    scenes: str = ""             # comma-separated scene filter ('' = all)
 
     # ---- DESIRE modules missing from the reference (north star) ----
     use_ioc: bool = True         # IOC ranking & refinement module

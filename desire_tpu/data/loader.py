@@ -1,0 +1,212 @@
+"""Deterministic, checkpointable SDD data pipeline.
+
+Replaces the reference ``DataLoader`` (/root/reference/utils/data_loader.py:20-266)
+with a TPU-first design:
+
+* one-pass CSV ingestion (optionally via the C++ fast parser in
+  ``desire_tpu/data/native``) into per-video CSR indices (windows.py) instead
+  of the reference's dense (num_frames, max_num_obj, 3) arrays + pickle;
+* windows are enumerated up front, shuffled with a seeded PRNG per epoch
+  (the reference advanced a frame pointer by ``random.randint`` with no seed —
+  non-reproducible epochs, SURVEY §8), so the stream is bit-reproducible and
+  position-resumable for checkpoint/restore;
+* batches come out device-ready: dense ``(B, T, A, 2)`` float32 + masks,
+  assembled with vectorized gathers.
+
+A reference-shaped compatibility facade (``CompatDataLoader``) reproduces the
+``next_batch() -> (x, y, d)`` surface of utils/data_loader.py for users
+migrating from the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+from desire_tpu.config import DesireConfig
+from desire_tpu.data import preprocess, windows
+
+
+@dataclasses.dataclass
+class Batch:
+    """One device-ready training batch (numpy, host-side)."""
+    xy: np.ndarray       # (B, T, A, 2) float32, normalized coords
+    mask: np.ndarray     # (B, T, A) float32 presence mask
+    ids: np.ndarray      # (B, A) int64 agent ids (0 = empty)
+    video: np.ndarray    # (B,) int32 video index
+    scale: np.ndarray    # (B,) float32 de-normalization scale
+
+    @property
+    def batch_size(self) -> int:
+        return self.xy.shape[0]
+
+
+@dataclasses.dataclass
+class LoaderState:
+    """Resume point for the deterministic stream."""
+    epoch: int = 0
+    batch_index: int = 0
+
+
+class SDDLoader:
+    """Windowed multi-agent SDD stream.
+
+    protocol='paper': T = obs_len + pred_len at 2.5 Hz; agents need a full
+    observation history. protocol='compat': T = seq_length + 1 at native rate
+    (consumer splits source/target by one step).
+    """
+
+    def __init__(self, cfg: DesireConfig, data_dir: str | None = None,
+                 max_videos: int | None = None, use_native: bool = True,
+                 drop_remainder: bool = True):
+        self.cfg = cfg
+        self.data_dir = data_dir or cfg.data_dir
+        scene_filter = {s for s in cfg.scenes.split(",") if s} or None
+
+        subsample = cfg.subsample if cfg.protocol == "paper" else 1
+        self.total_len = cfg.total_len
+        self.obs_len = cfg.obs_len if cfg.protocol == "paper" else cfg.seq_length
+        self.require_full_obs = cfg.protocol == "paper"
+        self.drop_remainder = drop_remainder
+
+        reader = _native_or_python_reader(use_native)
+        self.videos: list[windows.VideoIndex] = []
+        for rel, path in preprocess.iter_video_csvs(self.data_dir, max_videos):
+            scene = rel.split("/")[0]
+            if scene_filter and scene not in scene_filter:
+                continue
+            frames, ids, xs, ys = reader(path)
+            vi = windows.build_video_index(
+                rel, frames, ids, np.stack([xs, ys], -1),
+                subsample=subsample, normalize=cfg.normalize)
+            if vi.num_steps >= self.total_len:
+                self.videos.append(vi)
+        if not self.videos:
+            raise FileNotFoundError(
+                f"no usable annotations_processed.csv under {self.data_dir}")
+
+        # Global (video, start) enumeration.
+        pairs = []
+        for vidx, v in enumerate(self.videos):
+            for s in windows.window_starts(v, self.total_len, cfg.window_hop):
+                pairs.append((vidx, s))
+        self._pairs = np.asarray(pairs, dtype=np.int64)  # (N, 2)
+        self.num_windows = len(self._pairs)
+        self.num_batches = self.num_windows // cfg.batch_size
+        if not drop_remainder and self.num_windows % cfg.batch_size:
+            self.num_batches += 1
+        self.state = LoaderState()
+
+    # -- deterministic epoch permutation ------------------------------------
+    def _perm(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng((self.cfg.seed, epoch))
+        return rng.permutation(self.num_windows)
+
+    def _assemble(self, pair_rows: np.ndarray) -> Batch:
+        b = len(pair_rows)
+        A, T = self.cfg.max_num_obj, self.total_len
+        xy = np.zeros((b, T, A, 2), dtype=np.float32)
+        mask = np.zeros((b, T, A), dtype=np.float32)
+        ids = np.zeros((b, A), dtype=np.int64)
+        video = np.zeros((b,), dtype=np.int32)
+        scale = np.zeros((b,), dtype=np.float32)
+        for i, (vidx, start) in enumerate(pair_rows):
+            v = self.videos[vidx]
+            xy[i], mask[i], ids[i] = windows.materialize_window(
+                v, int(start), T, self.obs_len, A, self.require_full_obs)
+            video[i] = vidx
+            scale[i] = v.scale
+        return Batch(xy=xy, mask=mask, ids=ids, video=video, scale=scale)
+
+    def epoch_batches(self, epoch: int, start_batch: int = 0
+                      ) -> Iterator[Batch]:
+        """Yield the batches of one epoch, resumable at any batch index."""
+        perm = self._perm(epoch)
+        bs = self.cfg.batch_size
+        for bi in range(start_batch, self.num_batches):
+            idx = perm[bi * bs:(bi + 1) * bs]
+            self.state = LoaderState(epoch=epoch, batch_index=bi + 1)
+            yield self._assemble(self._pairs[idx])
+
+    def resume_iter(self, state: LoaderState) -> Iterator[Batch]:
+        return self.epoch_batches(state.epoch, state.batch_index)
+
+    def materialize(self, limit: int | None = None) -> Batch:
+        """Fully materialize up to `limit` windows (tests / tiny datasets /
+        HBM-resident training)."""
+        n = self.num_windows if limit is None else min(limit, self.num_windows)
+        return self._assemble(self._pairs[:n])
+
+
+def _python_reader(path: str):
+    rec = preprocess.read_processed_csv(path)
+    return (rec[0].astype(np.int64), rec[1].astype(np.int64),
+            rec[2].astype(np.float32), rec[3].astype(np.float32))
+
+
+def _native_or_python_reader(use_native: bool):
+    if use_native:
+        try:
+            from desire_tpu.data.native import fast_csv
+            if fast_csv.available():
+                return fast_csv.read_processed_csv
+        except Exception:
+            pass
+    return _python_reader
+
+
+class CompatDataLoader:
+    """Reference-shaped facade: mirrors the public surface of the reference
+    DataLoader (utils/data_loader.py — __init__(batch_size, seq_length,
+    max_num_obj, leave_dataset), .next_batch(), .num_batches,
+    .reset_batch_pointer(), .tick_batch_pointer()).
+
+    next_batch() returns (x_batch, y_batch, d) lists of
+    (seq_length, max_num_obj, 3) arrays with [:, :, 0] = agent id — the exact
+    tensor layout train.py:140-173 consumed — where y is the one-frame-shifted
+    source (utils/data_loader.py:206-210).
+    """
+
+    def __init__(self, batch_size=50, seq_length=5, max_num_obj=40,
+                 leave_dataset=1, preprocess_flag=False, data_dir="data/",
+                 seed=0):
+        cfg = DesireConfig(batch_size=batch_size, seq_length=seq_length,
+                           max_num_obj=max_num_obj, protocol="compat",
+                           normalize=False, window_hop=seq_length, seed=seed)
+        self._loader = SDDLoader(cfg, data_dir=data_dir,
+                                 max_videos=leave_dataset)
+        self.batch_size = batch_size
+        self.seq_length = seq_length
+        self.max_num_obj = max_num_obj
+        self.num_batches = self._loader.num_batches
+        self._epoch = 0
+        self._iter = None
+
+    def reset_batch_pointer(self):
+        self._iter = self._loader.epoch_batches(self._epoch)
+        self._epoch += 1
+
+    def tick_batch_pointer(self):  # kept for surface parity; epochs advance
+        self.reset_batch_pointer()  # the permutation instead of a video ptr
+
+    def next_batch(self, random_update=True):
+        if self._iter is None:
+            self.reset_batch_pointer()
+        try:
+            b = next(self._iter)
+        except StopIteration:
+            self.reset_batch_pointer()
+            b = next(self._iter)
+        x_batch, y_batch, dval = [], [], []
+        for i in range(b.batch_size):
+            full = np.concatenate(
+                [np.broadcast_to(b.ids[i].astype(np.float32)[None, :, None],
+                                 (b.xy.shape[1], self.max_num_obj, 1))
+                 * b.mask[i][..., None],
+                 b.xy[i]], axis=-1)  # (T, A, 3) with id column
+            x_batch.append(full[:-1])
+            y_batch.append(full[1:])
+            dval.append(int(b.video[i]))
+        return x_batch, y_batch, dval

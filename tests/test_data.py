@@ -1,0 +1,164 @@
+"""Data pipeline: preprocessing parity, windowing/slotting/masking semantics,
+determinism + resume (SURVEY.md §4 unit tier)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from desire_tpu.config import DesireConfig
+from desire_tpu.data import loader as loader_mod
+from desire_tpu.data import preprocess, windows
+
+
+def _write_micro_csv(path, records):
+    """records: list of (frame, id, x, y) -> transposed 4-row csv
+    (layout of reference scripts/preprocess.py:31-34)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = np.asarray(records, dtype=np.float64).T
+    with open(path, "w") as f:
+        for row in arr:
+            f.write(",".join(f"{v:g}" for v in row) + "\n")
+
+
+@pytest.fixture
+def micro_tree(tmp_path):
+    """Two 'scenes', deterministic synthetic trajectories at native rate."""
+    recs_a, recs_b = [], []
+    for f in range(40):
+        recs_a.append((f, 1, 10.0 + f, 20.0 + 2 * f))     # agent 1: all frames
+        if f >= 5:
+            recs_a.append((f, 2, 100.0 - f, 50.0))         # agent 2: frames 5+
+        if f % 2 == 0:
+            recs_a.append((f, 3, 5.0, 5.0 + f))            # agent 3: even frames
+        if f < 3:
+            recs_a.append((f, 4, 60.0, 60.0 + f))          # agent 4: frames 0-2
+    for f in range(25):
+        recs_b.append((f, 7, 1.0 + f, 1.0))
+    _write_micro_csv(str(tmp_path / "sceneA/video0/annotations_processed.csv"), recs_a)
+    _write_micro_csv(str(tmp_path / "sceneB/video0/annotations_processed.csv"), recs_b)
+    return str(tmp_path)
+
+
+def test_preprocess_txt_roundtrip(tmp_path):
+    # annotations.txt -> csv, bbox center math per reference preprocess.py:25-26
+    txt = tmp_path / "annotations.txt"
+    txt.write_text('5 10 20 30 40 100 x y z "l"\n6 0 0 10 10 101 a b c "m"\n')
+    csv = preprocess.convert_annotation_file(str(txt))
+    rec = preprocess.read_processed_csv(csv)
+    np.testing.assert_array_equal(rec[0], [100, 101])   # frames
+    np.testing.assert_array_equal(rec[1], [5, 6])       # ids
+    np.testing.assert_array_equal(rec[2], [20.0, 5.0])  # (xmin+xmax)/2
+    np.testing.assert_array_equal(rec[3], [30.0, 5.0])  # (ymin+ymax)/2
+
+
+def test_video_index_subsample_and_normalize():
+    frames = np.arange(24)
+    ids = np.ones(24)
+    xy = np.stack([np.arange(24.0), np.arange(24.0) * 2], -1)
+    v = windows.build_video_index("v", frames, ids, xy, subsample=12,
+                                  normalize=True)
+    assert v.num_steps == 2            # frames 0 and 12 survive
+    assert v.scale == 46.0             # max coordinate (y at frame 23=46)
+    np.testing.assert_allclose(v.rec_xy[:, 0] * v.scale, [0.0, 12.0])
+
+
+def test_window_full_obs_eligibility(micro_tree):
+    cfg = DesireConfig(protocol="paper", obs_len=4, pred_len=3, subsample=2,
+                       max_num_obj=5, window_hop=1, batch_size=2,
+                       data_dir=micro_tree)
+    ld = loader_mod.SDDLoader(cfg, use_native=False)
+    # sceneA at subsample=2: agents 1 (all), 3 (even frames -> all sampled
+    # steps), 2 (frames>=5 -> sampled steps 3+).
+    b = ld.materialize()
+    a_batch = b.xy[b.video == 0]
+    a_ids = b.ids[b.video == 0]
+    # first window of sceneA starts at step 0: agent 2 misses obs -> excluded
+    w0 = a_ids[0]
+    assert set(w0[w0 > 0].tolist()) == {1, 3}
+    # a later window (start>=3) includes agent 2
+    late = a_ids[-1]
+    assert 2 in set(late[late > 0].tolist())
+
+
+def test_window_mask_and_positions(micro_tree):
+    cfg = DesireConfig(protocol="paper", obs_len=3, pred_len=2, subsample=1,
+                       max_num_obj=4, window_hop=100, batch_size=1,
+                       data_dir=micro_tree, scenes="sceneA")
+    ld = loader_mod.SDDLoader(cfg, use_native=False)
+    b = ld.materialize(1)
+    # window = frames 0..4 of sceneA. Eligibility needs presence at ALL 3 obs
+    # steps: agent 1 (always) and agent 4 (frames 0-2) qualify; agent 3 (even
+    # frames, misses step 1) and agent 2 (starts frame 5) do not.
+    ids = b.ids[0]
+    slot1 = int(np.where(ids == 1)[0][0])
+    slot4 = int(np.where(ids == 4)[0][0])
+    assert 2 not in ids and 3 not in ids
+    np.testing.assert_array_equal(b.mask[0, :, slot1], [1, 1, 1, 1, 1])
+    # agent 4 has full obs but no future -> future steps masked out
+    np.testing.assert_array_equal(b.mask[0, :, slot4], [1, 1, 1, 0, 0])
+    # positions de-normalize to the synthetic ground truth
+    got = b.xy[0, :, slot1] * b.scale[0]
+    want = np.stack([10.0 + np.arange(5), 20.0 + 2 * np.arange(5)], -1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_compat_protocol_one_frame_shift(micro_tree):
+    ld = loader_mod.CompatDataLoader(batch_size=2, seq_length=8,
+                                     max_num_obj=6, leave_dataset=5,
+                                     data_dir=micro_tree)
+    x, y, d = ld.next_batch()
+    assert len(x) == 2 and x[0].shape == (8, 6, 3)
+    # target == source shifted by one step wherever the same agent persists
+    # (reference utils/data_loader.py:206-210)
+    np.testing.assert_allclose(x[0][1:], y[0][:-1], atol=1e-6)
+    # id column is column 0 (train.py feed layout)
+    live = x[0][0, :, 0] > 0
+    assert live.any()
+
+
+def test_determinism_and_resume(micro_tree):
+    cfg = DesireConfig(protocol="paper", obs_len=3, pred_len=2, subsample=1,
+                       max_num_obj=4, window_hop=1, batch_size=4,
+                       data_dir=micro_tree, seed=7)
+    ld1 = loader_mod.SDDLoader(cfg, use_native=False)
+    ld2 = loader_mod.SDDLoader(cfg, use_native=False)
+    e1 = list(ld1.epoch_batches(epoch=3))
+    e2 = list(ld2.epoch_batches(epoch=3))
+    assert len(e1) == ld1.num_batches > 1
+    for a, b in zip(e1, e2):
+        np.testing.assert_array_equal(a.xy, b.xy)
+    # epochs differ (shuffling works)
+    other = next(iter(ld2.epoch_batches(epoch=4)))
+    assert not np.array_equal(e1[0].xy, other.xy)
+    # resume mid-epoch reproduces the tail exactly
+    it = ld1.epoch_batches(epoch=5)
+    next(it)
+    state = ld1.state
+    tail_live = list(it)
+    tail_resumed = list(ld2.resume_iter(state))
+    assert len(tail_live) == len(tail_resumed)
+    for a, b in zip(tail_live, tail_resumed):
+        np.testing.assert_array_equal(a.xy, b.xy)
+
+
+def test_scene_filter_and_missing_dir(micro_tree, tmp_path):
+    cfg = DesireConfig(protocol="paper", obs_len=3, pred_len=2, subsample=1,
+                       max_num_obj=4, window_hop=1, batch_size=2,
+                       data_dir=micro_tree, scenes="sceneB")
+    ld = loader_mod.SDDLoader(cfg, use_native=False)
+    assert all(v.name.startswith("sceneB") for v in ld.videos)
+    with pytest.raises(FileNotFoundError):
+        loader_mod.SDDLoader(cfg, data_dir=str(tmp_path / "empty"),
+                             use_native=False)
+
+
+def test_native_parser_matches_python_if_built(micro_tree):
+    from desire_tpu.data.native import fast_csv
+    if not fast_csv.available():
+        pytest.skip("libfast_csv.so not built")
+    path = os.path.join(micro_tree, "sceneA/video0/annotations_processed.csv")
+    nf = fast_csv.read_processed_csv(path)
+    pf = loader_mod._python_reader(path)
+    for a, b in zip(nf, pf):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
