@@ -60,6 +60,13 @@ class DesireConfig:
     scene_channels: int = 32     # scene feature channels
     use_social: bool = True      # social (neighbor) pooling inside SCF
 
+    # ---- loss weights ----
+    w_nll: float = 1.0           # bivariate-Gaussian reconstruction NLL
+    w_kld: float = 1.0           # CVAE KL divergence
+    w_ce: float = 1.0            # IOC ranking cross-entropy
+    w_reg: float = 1.0           # refinement regression
+    kld_warmup: int = 200        # steps of linear KLD annealing (0 = off)
+
     # ---- TPU execution ----
     compute_dtype: str = "bfloat16"  # activations dtype; params/optimizer stay fp32
     use_pallas: bool = True          # fused Pallas kernels on TPU (pure-XLA fallback off-TPU)

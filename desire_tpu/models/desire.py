@@ -1,0 +1,149 @@
+"""The full DESIRE model: SGM (CVAE sampler) + SCF + IOC rank-and-refine.
+
+Assembles the capability spec of SURVEY §7.1: K-hypothesis CVAE sample
+generation (reference C3-C12), scene-context feature pooling rebuilt from the
+paper (C13 was a stand-in), the IOC module the reference never implemented,
+and the masked multi-task loss (C14-C16 semantics + the paper's IOC terms).
+
+Batch convention (from desire_tpu.data.loader.Batch):
+  xy   (B, T, A, 2)   T = obs_len + pred_len (paper) / seq+1 (compat)
+  mask (B, T, A)
+  ids  (B, A)
+
+The model flattens agents into rows (N = B*A) for all per-agent compute and
+keeps (B, A) structure only where interaction requires it (SCF).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from desire_tpu.config import DesireConfig
+from desire_tpu.models import ioc as ioc_mod
+from desire_tpu.models import layers as L
+from desire_tpu.models import losses
+from desire_tpu.models import scf as scf_mod
+from desire_tpu.models import sgm as sgm_mod
+
+
+def init_desire(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {"sgm": sgm_mod.init_sgm(k1, cfg, dtype)}
+    if cfg.use_scf or cfg.use_ioc:
+        params["scf"] = scf_mod.init_scf(k2, cfg, dtype)
+    if cfg.use_ioc:
+        params["ioc"] = ioc_mod.init_ioc(k3, cfg, dtype)
+    return params
+
+
+def split_batch(cfg: DesireConfig, xy, mask):
+    """(B,T,A,·) -> obs/future, agent-major."""
+    to = cfg.obs_len if cfg.protocol == "paper" else cfg.seq_length
+    obs_xy = jnp.swapaxes(xy[:, :to], 1, 2)       # (B, A, To, 2)
+    fut_xy = jnp.swapaxes(xy[:, to:], 1, 2)       # (B, A, Tf, 2)
+    obs_mask = jnp.swapaxes(mask[:, :to], 1, 2)   # (B, A, To)
+    fut_mask = jnp.swapaxes(mask[:, to:], 1, 2)   # (B, A, Tf)
+    return obs_xy, fut_xy, obs_mask, fut_mask
+
+
+def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
+                   k_samples=None, train=True):
+    """End-to-end forward. Returns a dict of all stage outputs."""
+    K = k_samples or cfg.num_samples
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    xy = xy.astype(compute_dtype)
+    mask = mask.astype(compute_dtype)
+
+    b, _, a, _ = xy.shape
+    obs_xy, fut_xy, obs_mask, fut_mask = split_batch(cfg, xy, mask)
+    live = losses.agent_validity_mask(ids).astype(compute_dtype)  # (B, A)
+
+    n = b * a
+    out = sgm_mod.sgm_forward(
+        params["sgm"], cfg,
+        obs_xy.reshape(n, *obs_xy.shape[2:]),
+        obs_mask.reshape(n, -1),
+        fut_xy.reshape(n, *fut_xy.shape[2:]) if train else None,
+        fut_mask.reshape(n, -1) if train else None,
+        key=key, k_samples=K, train=train)
+
+    tf_len = fut_xy.shape[2]
+    traj = out["traj_mu"].reshape(b, a, K, tf_len, 2)
+    dec_h = out["dec_h"].reshape(b, a, K, tf_len, -1)
+
+    result = {
+        "raw5": out["raw5"].reshape(b, a, K, tf_len, 5),
+        "sgm_traj": traj,
+        "z_mu": None if out["z_mu"] is None else out["z_mu"].reshape(b, a, -1),
+        "z_logvar": (None if out["z_logvar"] is None
+                     else out["z_logvar"].reshape(b, a, -1)),
+        "live": live,
+        "obs_xy": obs_xy, "fut_xy": fut_xy,
+        "obs_mask": obs_mask, "fut_mask": fut_mask,
+    }
+
+    if cfg.use_ioc:
+        feat_map = scf_mod.scene_feature_map(
+            params["scf"], jnp.swapaxes(obs_xy, 1, 2), jnp.swapaxes(obs_mask, 1, 2),
+            cfg.scene_grid)
+        refined, scores, per_iter = ioc_mod.ioc_forward(
+            params["ioc"], params["scf"], cfg, traj, dec_h, feat_map,
+            live, fut_mask)
+        result.update(refined_traj=refined, scores=scores,
+                      per_iter_trajs=per_iter)
+    else:
+        result.update(refined_traj=traj, scores=None, per_iter_trajs=[])
+    return result
+
+
+def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
+                k_samples=None):
+    """Multi-task training loss + metrics.
+
+    NLL term: per the reference semantics (C14/C16) the bivariate NLL is
+    summed over prediction steps and masked-averaged over live agents; it is
+    averaged (not min-ed) over the K lanes — every CVAE sample is trained
+    toward the ground truth, exactly as a CVAE reconstruction term demands
+    (each z_k is a reparameterized draw of the recognition posterior).
+    """
+    out = desire_forward(params, cfg, xy, mask, ids, key=key,
+                         k_samples=k_samples, train=True)
+    fut_xy, fut_mask, live = out["fut_xy"], out["fut_mask"], out["live"]
+    f32 = jnp.float32
+
+    # (B, A, K, Tf) NLL of ground truth under each lane's gaussians
+    raw5 = out["raw5"].astype(f32)
+    nll_steps = losses.bivariate_nll(
+        raw5, fut_xy[:, :, None].astype(f32),
+        step_mask=fut_mask[:, :, None].astype(f32))
+    nll_per_lane = jnp.sum(nll_steps, axis=-1)            # sum over steps (C14)
+    nll = losses.masked_mean(jnp.mean(nll_per_lane, axis=-1), live)
+
+    kld = losses.masked_mean(
+        losses.kld_normal(out["z_mu"].astype(f32), out["z_logvar"].astype(f32)),
+        live)
+    w_kld = cfg.w_kld
+    if cfg.kld_warmup and step is not None:
+        w_kld = w_kld * jnp.clip(step / cfg.kld_warmup, 0.0, 1.0)
+
+    total = cfg.w_nll * nll + w_kld * kld
+    metrics = {"nll": nll, "kld": kld}
+
+    if cfg.use_ioc:
+        scores = out["scores"].astype(f32)
+        live_t = live.astype(f32)
+        ce = losses.ioc_cross_entropy(
+            scores, out["refined_traj"].astype(f32), fut_xy.astype(f32),
+            live_t, step_mask=fut_mask.astype(f32))
+        reg = 0.0
+        for t in out["per_iter_trajs"]:
+            reg = reg + losses.refine_regression_loss(
+                t.astype(f32), fut_xy.astype(f32), live_t,
+                step_mask=fut_mask.astype(f32))
+        reg = reg / max(len(out["per_iter_trajs"]), 1)
+        total = total + cfg.w_ce * ce + cfg.w_reg * reg
+        metrics.update(ioc_ce=ce, refine_reg=reg)
+
+    metrics["loss"] = total
+    return total, metrics

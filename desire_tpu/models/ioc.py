@@ -1,0 +1,89 @@
+"""IOC ranking & refinement module.
+
+**Absent from the reference** — the insertion point is marked
+"RANKING AND REFINING SHOULD GO BEFORE WHAT FOLLOWS HERE !!!"
+(/root/reference/model/model.py:312-313); built here from the DESIRE paper
+(Lee et al., CVPR'17 §3.2) per BASELINE.json config 3 ("4 refinement
+iterations"):
+
+* a score-accumulating GRU runs over each hypothesis' fused context features
+  (scene-context-fusion vector per step, scf.py) and emits a per-step reward
+  ψ_t; the hypothesis score is the (future-mask-weighted) sum of rewards —
+  the max-ent IOC "accumulated return";
+* a regression head on the same hidden state emits per-step trajectory
+  deltas Δy_t; the hypothesis is refined y ← y + scale·Δy and re-scored,
+  ``num_refine`` times (features re-pooled at the refined positions each
+  iteration).
+
+TPU shape: everything is batched over (B·A·K) rows; the per-iteration loop is
+a static Python unroll of length ``num_refine`` (4) — XLA sees one straight-
+line program, no dynamic control flow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from desire_tpu.config import DesireConfig
+from desire_tpu.models import layers as L
+from desire_tpu.models import scf
+
+# Refinement step size: deltas are tanh-bounded and scaled, keeping each
+# iteration a local correction (positions live in [0,1] scene units).
+_DELTA_SCALE = 0.05
+
+
+def init_ioc(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 4)
+    feat_dim = 2 + cfg.scene_channels + cfg.d_dim   # scf.fuse_context layout
+    return {
+        "gru": L.init_gru_stack(ks[0], feat_dim, cfg.d_dim, 1, dtype),
+        "score": L.init_dense(ks[1], cfg.d_dim, 1, dtype),
+        "delta": L.init_dense(ks[2], cfg.d_dim, 2, dtype),
+    }
+
+
+def score_and_delta(p, fused, fut_mask):
+    """Run the scoring GRU over one hypothesis set.
+
+    fused: (B, A, K, Tf, F); fut_mask: (B, A, Tf).
+    Returns scores (B, A, K), deltas (B, A, K, Tf, 2), hidden (B,A,K,Tf,d).
+    """
+    b, a, k, tf, f = fused.shape
+    xs = fused.reshape(b * a * k, tf, f)
+    xs = jnp.swapaxes(xs, 0, 1)                          # (Tf, M, F)
+    h0 = jnp.zeros((1, b * a * k, p["gru"][0]["wh"].shape[0]), fused.dtype)
+    _, hs = L.gru_stack_scan(p["gru"], h0, xs)           # (Tf, M, d)
+    hs = jnp.swapaxes(hs, 0, 1).reshape(b, a, k, tf, -1)
+    psi = L.dense(p["score"], hs)[..., 0]                # (B, A, K, Tf)
+    m = fut_mask[:, :, None, :]
+    scores = jnp.sum(psi * m, axis=-1)                   # (B, A, K)
+    deltas = jnp.tanh(L.dense(p["delta"], hs)) * _DELTA_SCALE
+    deltas = deltas * m[..., None]
+    return scores, deltas, hs
+
+
+def ioc_forward(p_ioc, p_scf, cfg: DesireConfig, traj, dec_h, feat_map,
+                live, fut_mask, num_refine=None):
+    """Iterative rank-and-refine.
+
+    traj: (B, A, K, Tf, 2) SGM mean trajectories (absolute normalized);
+    dec_h: (B, A, K, Tf, d) SGM decoder hiddens; feat_map: (B, G, G, C);
+    live: (B, A); fut_mask: (B, A, Tf).
+
+    Returns (refined_traj, scores, per_iter_trajs):
+      refined_traj (B, A, K, Tf, 2) — after the final iteration
+      scores       (B, A, K)        — accumulated rewards of the final pass
+      per_iter     list of (B,A,K,Tf,2), one per iteration (for deep
+                    supervision of the regression loss)
+    """
+    iters = cfg.num_refine if num_refine is None else num_refine
+    per_iter = []
+    scores = None
+    for _ in range(max(iters, 1)):
+        fused = scf.fuse_context(p_scf, cfg, traj, dec_h, feat_map, live)
+        scores, deltas, _ = score_and_delta(p_ioc, fused, fut_mask)
+        traj = traj + deltas
+        per_iter.append(traj)
+    return traj, scores, per_iter

@@ -1,0 +1,132 @@
+"""Scene Context Fusion (SCF).
+
+The DESIRE paper's IOC stage fuses, per hypothesis step: (1) the decoder's
+dynamics, (2) scene CNN features pooled at the *predicted* position, and
+(3) a social pooling of interacting agents. The reference never built this —
+its "feature pooling" stand-in (model/model.py:291-311) multiplies decoder
+outputs into halves of the temporal-conv vector; SURVEY §7.4 flags it as an
+unfinished design to be rebuilt from the paper. This module is that rebuild.
+
+Since SDD ships no imagery in the reference data layout, the scene feature
+map is *learned from agent occupancy*: observed positions of all agents are
+rasterized onto a G x G grid, a small CNN turns that into a feature map, and
+hypothesis positions bilinearly pool from it. (With camera imagery available,
+the raster simply gains image channels — the fusion machinery is unchanged.)
+
+TPU notes: rasterization is a scatter-add on a (B, G*G, C) buffer; pooling is
+4 gathers + lerp (bilinear); social pooling is distance-kernel attention over
+the agent axis — a batched (A x A) matmul that rides the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from desire_tpu.config import DesireConfig
+from desire_tpu.models import layers as L
+
+
+def init_scf(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 4)
+    c = cfg.scene_channels
+    return {
+        "conv1": L.init_conv(ks[0], 3, 3, 2, c, dtype),
+        "gn1": L.init_groupnorm(c, dtype),
+        "conv2": L.init_conv(ks[1], 3, 3, c, c, dtype),
+        "gn2": L.init_groupnorm(c, dtype),
+        # social attention: project decoder hidden -> social message
+        "soc_msg": L.init_dense(ks[2], cfg.d_dim, cfg.d_dim, dtype),
+        # learned temperature for the distance kernel
+        "soc_logtau": jnp.zeros((), dtype),
+    }
+
+
+def rasterize_occupancy(obs_xy, obs_mask, grid):
+    """(B, To, A, 2) normalized positions -> (B, G, G, 2) raster:
+    channel 0 = time-integrated occupancy, channel 1 = last-step occupancy."""
+    b, t, a, _ = obs_xy.shape
+    ij = jnp.clip((obs_xy * grid).astype(jnp.int32), 0, grid - 1)
+    cell = ij[..., 1] * grid + ij[..., 0]                 # (B, To, A)
+    flat = jnp.zeros((b, grid * grid, 2), obs_xy.dtype)
+    w_all = obs_mask[..., None] * jnp.ones((1, 1, 1), obs_xy.dtype)
+    last = jnp.zeros_like(obs_mask).at[:, -1].set(obs_mask[:, -1])
+    w = jnp.stack([obs_mask, last], -1)                   # (B, To, A, 2)
+    bidx = jnp.arange(b)[:, None, None]
+    flat = flat.at[bidx, cell].add(w)
+    del w_all
+    return (flat / t).reshape(b, grid, grid, 2)
+
+
+def scene_feature_map(p, obs_xy, obs_mask, grid):
+    """Occupancy raster -> CNN -> (B, G, G, C)."""
+    raster = rasterize_occupancy(obs_xy, obs_mask, grid)
+    h = jax.nn.relu(L.groupnorm(p["gn1"], L.conv2d(p["conv1"], raster)))
+    h = jax.nn.relu(L.groupnorm(p["gn2"], L.conv2d(p["conv2"], h)))
+    return h
+
+
+def bilinear_pool(feat_map, pos):
+    """Bilinearly sample (B, G, G, C) at positions (B, ..., 2) in [0,1].
+    Returns (B, ..., C)."""
+    b, g, _, c = feat_map.shape
+    flat = feat_map.reshape(b, g * g, c)
+    xy = jnp.clip(pos, 0.0, 1.0) * (g - 1)
+    x0 = jnp.floor(xy[..., 0]);  y0 = jnp.floor(xy[..., 1])
+    fx = xy[..., 0] - x0;        fy = xy[..., 1] - y0
+    x0 = x0.astype(jnp.int32);   y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, g - 1)
+    y1 = jnp.minimum(y0 + 1, g - 1)
+
+    def gather(yy, xx):
+        idx = (yy * g + xx).reshape(b, -1)                # (B, P)
+        out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return out.reshape(pos.shape[:-1] + (c,))
+
+    w00 = ((1 - fx) * (1 - fy))[..., None]
+    w01 = (fx * (1 - fy))[..., None]
+    w10 = ((1 - fx) * fy)[..., None]
+    w11 = (fx * fy)[..., None]
+    return (gather(y0, x0) * w00 + gather(y0, x1) * w01 +
+            gather(y1, x0) * w10 + gather(y1, x1) * w11)
+
+
+def social_pool(p, traj, dec_h, live):
+    """Distance-kernel attention over agents, per hypothesis lane and step.
+
+    traj:  (B, A, K, Tf, 2) current hypothesis positions
+    dec_h: (B, A, K, Tf, d) decoder hiddens (the social messages' source)
+    live:  (B, A) agent validity
+    Returns (B, A, K, Tf, d): for each agent, the kernel-weighted sum of the
+    *other* live agents' messages at the same lane/step.
+    """
+    msg = L.dense(p["soc_msg"], dec_h)                    # (B, A, K, Tf, d)
+    # pairwise squared distances between agents i and j at each (k, t)
+    diff = traj[:, :, None] - traj[:, None, :]            # (B, A, A, K, Tf, 2)
+    d2 = jnp.sum(diff * diff, axis=-1)                    # (B, A, A, K, Tf)
+    tau = jnp.exp(p["soc_logtau"]).astype(d2.dtype) + 1e-4
+    logits = -d2 / tau
+    # mask self and dead agents
+    a = traj.shape[1]
+    eye = jnp.eye(a, dtype=bool)[None, :, :, None, None]
+    livej = (live[:, None, :, None, None] > 0)
+    logits = jnp.where(eye | ~livej, -1e9, logits)
+    w = jax.nn.softmax(logits, axis=2)
+    # zero out rows with no live neighbors (softmax over all -1e9 is uniform)
+    any_nb = jnp.sum((~eye & livej).astype(d2.dtype), axis=2) > 0
+    w = w * any_nb[:, :, None]
+    return jnp.einsum("bijkt,bjktd->biktd", w, msg,
+                      preferred_element_type=msg.dtype)
+
+
+def fuse_context(p, cfg: DesireConfig, traj, dec_h, feat_map, live):
+    """The SCF vector per (agent, lane, step): [velocity, scene, social].
+
+    traj (B,A,K,Tf,2) -> fused (B,A,K,Tf, 2 + scene_channels + d_dim)."""
+    vel = jnp.diff(traj, axis=-2, prepend=traj[..., :1, :])
+    b, a, k, tf, _ = traj.shape
+    scene = bilinear_pool(feat_map, traj.reshape(b, a * k * tf, 2))
+    scene = scene.reshape(b, a, k, tf, -1)
+    social = social_pool(p, traj, dec_h, live) if cfg.use_social else \
+        jnp.zeros(traj.shape[:-1] + (cfg.d_dim,), traj.dtype)
+    return jnp.concatenate([vel, scene, social], axis=-1)

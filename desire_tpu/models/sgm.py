@@ -1,0 +1,223 @@
+"""Sample Generation Module (SGM): the CVAE trajectory sampler.
+
+Capability target = reference components C3-C12 (SURVEY §2.1):
+
+* temporal-conv trajectory features rho  -> reference model/model.py:126-133
+* past / future GRU encoders             -> model/model.py:136-167,233-241
+* fusion FC -> conv-VAE encode -> reparameterized z -> deconv decode
+                                          -> model/model.py:243-267,453-492
+* softmax mask beta applied to the past encoding ("masking" the encoding
+  with the CVAE sample)                   -> model/model.py:271-280
+* K-hypothesis GRU decoder + 5-param bivariate-Gaussian head
+                                          -> model/model.py:279-289 (K was
+                                             hardcoded 7; here a flag)
+
+TPU-first redesign decisions (vs the reference's per-agent graph loop,
+model/model.py:211):
+
+* agents are a batch dimension — all per-agent compute is one big (N, ...)
+  array program, N = batch*agents, masked by agent validity;
+* K hypothesis lanes are a second batch dimension inside the decoder —
+  (N*K) rows flow through the same MXU matmuls;
+* the decoder emits per-step *velocity* Gaussians composed by cumulative sum
+  into absolute positions (translation-invariant; the reference predicted raw
+  absolute coords and then clamped samples at 1.0 despite never normalizing —
+  SURVEY §8);
+* GroupNorm replaces prettytensor batchnorm in the VAE stacks (phase-free,
+  vmap/shard-safe; documented deviation);
+* all randomness is counter-based (jax.random), split per lane — reproducible
+  under jit/vmap/sharding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from desire_tpu.config import DesireConfig
+from desire_tpu.models import layers as L
+
+
+def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
+    ks = list(jax.random.split(key, 16))
+    d = cfg.d_dim
+    emb = cfg.embedding_size
+    cm = cfg.channel_multiplier
+    side = cfg.vae_side
+    assert side == 32, (
+        "the conv-VAE geometry (reference model/model.py:453-492) requires "
+        "vae_side==32, i.e. rnn_size=512")
+    lat = cfg.latent_size
+    p = {
+        # input feature embedding: [xy_rel, dxy] -> emb
+        "embed_x": L.init_dense(ks[0], 4, emb, dtype),
+        "embed_y": L.init_dense(ks[1], 4, emb, dtype),
+        "enc_x": L.init_gru_stack(ks[2], emb, d, cfg.num_layers, dtype),
+        "enc_y": L.init_gru_stack(ks[3], emb, d, cfg.num_layers, dtype),
+        # depthwise temporal conv over the full obs window:
+        # weight (To, 2, cm) -> features 2*cm (reference temporal_w
+        # (1, seq, 2, 100), model/model.py:425-431)
+        "temporal_w": L.glorot(ks[4], (cfg.obs_len, 2, cm), dtype),
+        "temporal_b": jnp.zeros((2 * cm,), dtype),
+        # recognition fusion: concat(hx, hy) -> vae input "image"
+        "fuse": L.init_dense(ks[5], 2 * d, cfg.vae_input_size, dtype),
+        # conv-VAE encoder (32x32x1 -> latent*2)
+        "venc1": L.init_conv(ks[6], 5, 5, 1, 32, dtype),
+        "vgn1": L.init_groupnorm(32, dtype),
+        "venc2": L.init_conv(ks[7], 5, 5, 32, 64, dtype),
+        "vgn2": L.init_groupnorm(64, dtype),
+        "venc3": L.init_conv(ks[8], 5, 5, 64, 128, dtype),
+        "vgn3": L.init_groupnorm(128, dtype),
+        "venc_fc": L.init_dense(ks[9], (side // 8) * (side // 8) * 128,
+                                2 * lat, dtype),
+        # deconv decoder (1x1xlatent -> 32x32x1 -> flatten)
+        "vdec1": L.init_conv(ks[10], 4, 4, lat, 128, dtype),
+        "vdgn1": L.init_groupnorm(128, dtype),
+        "vdec2": L.init_conv(ks[11], 5, 5, 128, 64, dtype),
+        "vdgn2": L.init_groupnorm(64, dtype),
+        "vdec3": L.init_conv(ks[12], 5, 5, 64, 32, dtype),
+        "vdgn3": L.init_groupnorm(32, dtype),
+        "vdec4": L.init_conv(ks[13], 5, 5, 32, 1, dtype),
+        # post-VAE mask head (reference w_post_vae, model/model.py:439-443)
+        "post_vae": L.init_dense(ks[14], cfg.vae_input_size, d, dtype),
+        # K-lane GRU decoder + bivariate head
+        "dec": L.init_gru_stack(ks[15], d, d, cfg.num_layers, dtype),
+        "head": L.init_dense(jax.random.fold_in(key, 99), d, 5, dtype),
+    }
+    return p
+
+
+def temporal_features(p, rel_xy, obs_mask):
+    """rho: depthwise full-window temporal conv + ReLU (reference C3).
+
+    rel_xy: (N, To, 2); obs_mask: (N, To). Returns (N, 2*cm).
+    Depthwise conv with a VALID full-length window degenerates to a per-
+    channel weighted sum over time — expressed as one einsum so XLA maps it
+    onto the MXU instead of a conv window loop.
+    """
+    x = rel_xy * obs_mask[..., None]
+    feat = jnp.einsum("ntc,tcm->ncm", x, p["temporal_w"].astype(x.dtype),
+                      preferred_element_type=x.dtype)
+    feat = feat.reshape(feat.shape[0], -1) + p["temporal_b"].astype(x.dtype)
+    return jax.nn.relu(feat)
+
+
+def _traj_feats(xy_rel, mask):
+    """Per-step input features: [position, velocity], masked."""
+    d = jnp.diff(xy_rel, axis=1, prepend=xy_rel[:, :1])
+    return jnp.concatenate([xy_rel, d], -1) * mask[..., None]
+
+
+def encode_trajectory(stack, embed_p, xy_rel, mask):
+    """GRU-encode a trajectory. xy_rel: (N, T, 2), mask: (N, T).
+    Returns top-layer final hidden (N, H)."""
+    feats = jax.nn.relu(L.dense(embed_p, _traj_feats(xy_rel, mask)))
+    xs = jnp.swapaxes(feats, 0, 1)                      # (T, N, emb)
+    m = jnp.swapaxes(mask, 0, 1)                        # (T, N)
+    n, h = xs.shape[1], stack[0]["wh"].shape[0]
+    h0 = jnp.zeros((len(stack), n, h), xs.dtype)
+    finals, _ = L.gru_stack_scan(stack, h0, xs, mask=m)
+    return finals[-1], finals
+
+
+def vae_encode(p, hx, hy, side):
+    """Recognition network q(z | X, Y): fuse encodings -> conv stack ->
+    (mu, logvar). hx/hy: (N, d)."""
+    fused = jax.nn.relu(L.dense(p["fuse"], jnp.concatenate([hx, hy], -1)))
+    img = fused.reshape(-1, side, side, 1)
+    h = jax.nn.elu(L.groupnorm(p["vgn1"], L.conv2d(p["venc1"], img, stride=2)))
+    h = jax.nn.elu(L.groupnorm(p["vgn2"], L.conv2d(p["venc2"], h, stride=2)))
+    h = jax.nn.elu(L.groupnorm(p["vgn3"], L.conv2d(p["venc3"], h, padding="VALID")))
+    h = h.reshape(h.shape[0], -1)
+    out = L.dense(p["venc_fc"], h)
+    mu, logvar = jnp.split(out, 2, axis=-1)
+    return mu, logvar
+
+
+def vae_decode_mask(p, z, side):
+    """Deconv decode z -> 32x32 'reconstruction' -> softmax mask beta
+    (reference model/model.py:266-276). z: (M, latent) -> beta (M, d)."""
+    h = z[:, None, None, :]
+    h = jax.nn.elu(L.groupnorm(p["vdgn1"], L.deconv2d(p["vdec1"], h, padding="VALID")))
+    h = jax.nn.elu(L.groupnorm(p["vdgn2"], L.deconv2d(p["vdec2"], h, padding="VALID")))
+    h = jax.nn.elu(L.groupnorm(p["vdgn3"], L.deconv2d(p["vdec3"], h, stride=2)))
+    h = jax.nn.sigmoid(L.deconv2d(p["vdec4"], h, stride=2))
+    recon = h.reshape(h.shape[0], -1)                   # (M, side*side)
+    beta = jax.nn.softmax(jax.nn.relu(L.dense(p["post_vae"], recon)), axis=-1)
+    return beta, recon
+
+
+def decode_hypotheses(p, cfg: DesireConfig, h_seed, h_init, pred_len):
+    """K-lane GRU decoder (reference C12 'rnn_decoder', model/model.py:279-289).
+
+    h_seed: (M, d)  — beta ⊙ hx, fed at every step (reference semantics);
+    h_init: (L, M, d) — encoder final states as the initial decoder state.
+    Returns raw (M, Tf, 5) head outputs and hidden states (M, Tf, d).
+    """
+    m, d = h_seed.shape
+    xs = jnp.broadcast_to(h_seed, (pred_len, m, d))
+    _, hs = L.gru_stack_scan(p["dec"], h_init, xs)       # (Tf, M, d)
+    raw = L.dense(p["head"], hs)                         # (Tf, M, 5)
+    return jnp.swapaxes(raw, 0, 1), jnp.swapaxes(hs, 0, 1)
+
+
+def compose_positions(raw, origin):
+    """Velocity -> absolute position Gaussians.
+
+    raw: (..., Tf, 5) per-step [vx, vy, log_sx, log_sy, rho_raw];
+    origin: (..., 2) last observed position. Returns raw5 with absolute means
+    in channels 0:2 (downstream NLL consumes it directly).
+    """
+    vel = raw[..., 0:2]
+    mu = origin[..., None, :] + jnp.cumsum(vel, axis=-2)
+    return jnp.concatenate([mu, raw[..., 2:]], axis=-1)
+
+
+def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
+                fut_mask=None, *, key, k_samples=None, train=True):
+    """Full SGM pass over flattened agent rows.
+
+    obs_xy: (N, To, 2) absolute normalized; fut_xy: (N, Tf, 2) (train only).
+    Returns dict with absolute-position Gaussians for K hypotheses.
+    """
+    K = k_samples or cfg.num_samples
+    n = obs_xy.shape[0]
+    side = cfg.vae_side
+    lat = cfg.latent_size
+    pred_len = fut_xy.shape[1] if fut_xy is not None else cfg.pred_len
+
+    # translation invariance: work relative to each agent's last observed point
+    origin = obs_xy[:, -1]                                # (N, 2)
+    rel_obs = (obs_xy - origin[:, None]) * obs_mask[..., None]
+
+    hx, hx_all = encode_trajectory(p["enc_x"], p["embed_x"], rel_obs, obs_mask)
+    rho = temporal_features(p, rel_obs, obs_mask)         # (N, 2*cm)
+
+    if train:
+        assert fut_xy is not None and fut_mask is not None
+        rel_fut = (fut_xy - origin[:, None]) * fut_mask[..., None]
+        hy, _ = encode_trajectory(p["enc_y"], p["embed_y"], rel_fut, fut_mask)
+        mu, logvar = vae_encode(p, hx, hy, side)
+        eps = jax.random.normal(key, (n, K, lat), hx.dtype)
+        z = mu[:, None] + jnp.exp(0.5 * logvar)[:, None] * eps
+    else:
+        mu = logvar = None
+        z = jax.random.normal(key, (n, K, lat), hx.dtype)
+
+    beta, recon = vae_decode_mask(p, z.reshape(n * K, lat), side)
+    h_seed = beta * jnp.repeat(hx, K, axis=0)             # (N*K, d)
+    h_init = jnp.repeat(hx_all, K, axis=1)                # (L, N*K, d)
+
+    raw, dec_h = decode_hypotheses(p, cfg, h_seed, h_init, pred_len)
+    raw = raw.reshape(n, K, pred_len, 5)
+    dec_h = dec_h.reshape(n, K, pred_len, -1)
+    raw5 = compose_positions(raw, origin[:, None, :])     # abs-position params
+
+    return {
+        "raw5": raw5,                 # (N, K, Tf, 5) absolute-position gaussians
+        "traj_mu": raw5[..., 0:2],    # (N, K, Tf, 2) mean trajectories
+        "dec_h": dec_h,               # (N, K, Tf, d)
+        "z_mu": mu, "z_logvar": logvar,
+        "rho": rho, "hx": hx, "origin": origin,
+        "beta": beta.reshape(n, K, -1),
+    }

@@ -1,0 +1,269 @@
+"""Model tier: layer correctness vs independent references, SGM/IOC shapes,
+mask invariance, gradient health (SURVEY.md §4)."""
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from desire_tpu.config import DesireConfig
+from desire_tpu.models import desire, layers, losses, scf, sgm
+
+
+def tiny_cfg(**kw):
+    base = dict(batch_size=2, max_num_obj=4, obs_len=4, pred_len=3,
+                num_samples=3, d_dim=16, latent_size=8, embedding_size=8,
+                channel_multiplier=10, scene_grid=8, scene_channels=4,
+                num_refine=2, compute_dtype="float32", kld_warmup=0)
+    base.update(kw)
+    return DesireConfig(**base)
+
+
+# -- layers -------------------------------------------------------------------
+
+def test_gru_matches_flax_grucell():
+    """Our fused-gate GRU must match flax's GRUCell exactly (same variant)."""
+    key = jax.random.PRNGKey(0)
+    in_dim, hidden, n, t = 6, 5, 3, 7
+    p = layers.init_gru(key, in_dim, hidden)
+    cell = fnn.GRUCell(features=hidden)
+    # translate our params into flax's: flax GRUCell uses dense_i (ir,iz,in)
+    # and dense_h (hr,hz,hn) with bias only on i-gates and the n h-gate.
+    wi = np.asarray(p["wi"]); wh = np.asarray(p["wh"])
+    fvars = {"params": {
+        "ir": {"kernel": wi[:, :hidden], "bias": np.asarray(p["bi"][:hidden])},
+        "iz": {"kernel": wi[:, hidden:2*hidden], "bias": np.asarray(p["bi"][hidden:2*hidden])},
+        "in": {"kernel": wi[:, 2*hidden:], "bias": np.asarray(p["bi"][2*hidden:])},
+        "hr": {"kernel": wh[:, :hidden]},
+        "hz": {"kernel": wh[:, hidden:2*hidden]},
+        "hn": {"kernel": wh[:, 2*hidden:], "bias": np.asarray(p["bh"][2*hidden:])},
+    }}
+    # our bh applies to all three h-gates; zero r,z parts for equivalence
+    p = dict(p, bh=p["bh"].at[:2*hidden].set(0.0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (t, n, in_dim))
+    h = jnp.zeros((n, hidden))
+    h_flax = h
+    for step in range(t):
+        h = layers.gru_step(p, h, xs[step])
+        h_flax, _ = cell.apply(fvars, h_flax, xs[step])
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h_flax),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_gru_scan_mask_freezes_state():
+    p = layers.init_gru(jax.random.PRNGKey(0), 3, 4)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (5, 2, 3))
+    mask = jnp.array([[1, 1], [0, 1], [1, 1], [0, 0], [1, 1]], jnp.float32)
+    h0 = jnp.zeros((2, 4))
+    hT, hs = layers.gru_scan(p, h0, xs, mask=mask)
+    # row 0 masked at steps 1,3: state at step1 == state at step0
+    np.testing.assert_array_equal(np.asarray(hs[1, 0]), np.asarray(hs[0, 0]))
+    np.testing.assert_array_equal(np.asarray(hs[3, 0]), np.asarray(hs[2, 0]))
+    assert not np.allclose(np.asarray(hs[1, 1]), np.asarray(hs[0, 1]))
+
+
+def test_conv_deconv_geometry():
+    """The conv-VAE stacks must reproduce the reference geometry
+    (32x32 -> 4x4x128 -> latent; z -> 32x32, model/model.py:453-492)."""
+    key = jax.random.PRNGKey(0)
+    cfg = DesireConfig()
+    p = sgm.init_sgm(key, cfg)
+    hx = jnp.zeros((2, cfg.d_dim)); hy = jnp.zeros((2, cfg.d_dim))
+    mu, logvar = sgm.vae_encode(p, hx, hy, cfg.vae_side)
+    assert mu.shape == (2, cfg.latent_size) == logvar.shape
+    beta, recon = sgm.vae_decode_mask(p, jnp.zeros((2, cfg.latent_size)),
+                                      cfg.vae_side)
+    assert recon.shape == (2, cfg.vae_input_size)
+    assert beta.shape == (2, cfg.d_dim)
+    np.testing.assert_allclose(np.asarray(beta.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_groupnorm_normalizes():
+    p = layers.init_groupnorm(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 6, 8)) * 5 + 3
+    y = layers.groupnorm(p, x, groups=4)
+    flat = np.asarray(y).reshape(4, -1)
+    assert abs(flat.mean()) < 0.1 and abs(flat.std() - 1.0) < 0.1
+
+
+# -- SGM ----------------------------------------------------------------------
+
+def test_sgm_shapes_and_determinism():
+    cfg = tiny_cfg(rnn_size=512)
+    key = jax.random.PRNGKey(0)
+    p = sgm.init_sgm(key, cfg)
+    n, to, tf, K = 6, cfg.obs_len, cfg.pred_len, cfg.num_samples
+    obs = jax.random.normal(jax.random.PRNGKey(1), (n, to, 2)) * 0.1 + 0.5
+    fut = jax.random.normal(jax.random.PRNGKey(2), (n, tf, 2)) * 0.1 + 0.5
+    m_o, m_f = jnp.ones((n, to)), jnp.ones((n, tf))
+    out = sgm.sgm_forward(p, cfg, obs, m_o, fut, m_f,
+                          key=jax.random.PRNGKey(3), train=True)
+    assert out["raw5"].shape == (n, K, tf, 5)
+    assert out["traj_mu"].shape == (n, K, tf, 2)
+    assert out["z_mu"].shape == (n, cfg.latent_size)
+    assert out["rho"].shape == (n, 2 * cfg.channel_multiplier)
+    # same key -> identical; different key -> different (stochastic z)
+    out2 = sgm.sgm_forward(p, cfg, obs, m_o, fut, m_f,
+                           key=jax.random.PRNGKey(3), train=True)
+    np.testing.assert_array_equal(np.asarray(out["traj_mu"]),
+                                  np.asarray(out2["traj_mu"]))
+    out3 = sgm.sgm_forward(p, cfg, obs, m_o, fut, m_f,
+                           key=jax.random.PRNGKey(4), train=True)
+    assert not np.array_equal(np.asarray(out["traj_mu"]),
+                              np.asarray(out3["traj_mu"]))
+    # K lanes differ from each other (distinct eps per lane)
+    lanes = np.asarray(out["traj_mu"])
+    assert not np.allclose(lanes[:, 0], lanes[:, 1])
+
+
+def test_sgm_inference_mode_needs_no_future():
+    cfg = tiny_cfg()
+    p = sgm.init_sgm(jax.random.PRNGKey(0), cfg)
+    n = 4
+    obs = jnp.ones((n, cfg.obs_len, 2)) * 0.5
+    out = sgm.sgm_forward(p, cfg, obs, jnp.ones((n, cfg.obs_len)),
+                          key=jax.random.PRNGKey(1), train=False)
+    assert out["z_mu"] is None
+    assert out["traj_mu"].shape == (n, cfg.num_samples, cfg.pred_len, 2)
+
+
+def test_sgm_translation_invariance():
+    """Shifting the whole trajectory must shift predictions identically
+    (origin-relative design)."""
+    cfg = tiny_cfg()
+    p = sgm.init_sgm(jax.random.PRNGKey(0), cfg)
+    n = 3
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (n, cfg.obs_len, 2)) * 0.2
+    m = jnp.ones((n, cfg.obs_len))
+    k = jax.random.PRNGKey(2)
+    t1 = sgm.sgm_forward(p, cfg, obs, m, key=k, train=False)["traj_mu"]
+    t2 = sgm.sgm_forward(p, cfg, obs + 0.3, m, key=k, train=False)["traj_mu"]
+    np.testing.assert_allclose(np.asarray(t2 - t1),
+                               np.full(np.shape(t1), 0.3), rtol=1e-3, atol=1e-5)
+
+
+# -- SCF ----------------------------------------------------------------------
+
+def test_bilinear_pool_exact_on_grid_points():
+    b, g, c = 2, 8, 3
+    fm = jax.random.normal(jax.random.PRNGKey(0), (b, g, g, c))
+    # position exactly at grid cell (ix, iy) -> feature[iy, ix]
+    pos = jnp.array([[[3 / (g - 1), 5 / (g - 1)]], [[0.0, 0.0]]])
+    out = scf.bilinear_pool(fm, pos)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(fm[0, 5, 3]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1, 0]), np.asarray(fm[1, 0, 0]),
+                               rtol=1e-5)
+
+
+def test_bilinear_pool_interpolates_midpoint():
+    fm = jnp.zeros((1, 4, 4, 1)).at[0, 0, 0, 0].set(1.0).at[0, 0, 1, 0].set(3.0)
+    # midpoint between x=0 and x=1 at y=0 -> (1+3)/2
+    pos = jnp.array([[[0.5 / 3, 0.0]]])
+    out = scf.bilinear_pool(fm, pos)
+    np.testing.assert_allclose(float(out[0, 0, 0]), 2.0, rtol=1e-5)
+
+
+def test_social_pool_ignores_dead_and_self():
+    cfg = tiny_cfg()
+    p = scf.init_scf(jax.random.PRNGKey(0), cfg)
+    b, a, k, tf, d = 1, 3, 2, 2, cfg.d_dim
+    traj = jnp.zeros((b, a, k, tf, 2))
+    dec_h = jax.random.normal(jax.random.PRNGKey(1), (b, a, k, tf, d))
+    live = jnp.array([[1.0, 1.0, 0.0]])
+    out = scf.social_pool(p, traj, dec_h, live)
+    # agent 0's pool = message(agent 1) only (2 dead, self excluded)
+    msg1 = layers.dense(p["soc_msg"], dec_h[:, 1])
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(msg1),
+                               rtol=1e-4, atol=1e-5)
+    # a lone agent pools zeros
+    live_alone = jnp.array([[1.0, 0.0, 0.0]])
+    out2 = scf.social_pool(p, traj, dec_h, live_alone)
+    np.testing.assert_allclose(np.asarray(out2[:, 0]), 0.0, atol=1e-6)
+
+
+# -- full model ---------------------------------------------------------------
+
+def _toy_batch(cfg, key=0):
+    b, a, t = cfg.batch_size, cfg.max_num_obj, cfg.total_len
+    kx, ki = jax.random.split(jax.random.PRNGKey(key))
+    xy = jax.random.uniform(kx, (b, t, a, 2)) * 0.5 + 0.25
+    mask = jnp.ones((b, t, a))
+    ids = jnp.arange(1, a + 1)[None].repeat(b, 0).astype(jnp.float32)
+    # kill last agent everywhere
+    ids = ids.at[:, -1].set(0.0)
+    mask = mask.at[:, :, -1].set(0.0)
+    return xy, mask, ids
+
+
+def test_desire_forward_and_loss():
+    cfg = tiny_cfg()
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg)
+    xy, mask, ids = _toy_batch(cfg)
+    out = jax.jit(lambda p, x, m, i: desire.desire_forward(
+        p, cfg, x, m, i, key=jax.random.PRNGKey(1)))(params, xy, mask, ids)
+    b, a, K, tf = cfg.batch_size, cfg.max_num_obj, cfg.num_samples, cfg.pred_len
+    assert out["refined_traj"].shape == (b, a, K, tf, 2)
+    assert out["scores"].shape == (b, a, K)
+    assert len(out["per_iter_trajs"]) == cfg.num_refine
+    loss, metrics = jax.jit(lambda p, x, m, i: desire.desire_loss(
+        p, cfg, x, m, i, key=jax.random.PRNGKey(1), step=100))(
+        params, xy, mask, ids)
+    assert np.isfinite(float(loss))
+    for k in ("nll", "kld", "ioc_ce", "refine_reg"):
+        assert np.isfinite(float(metrics[k])), k
+    assert float(metrics["kld"]) >= 0
+
+
+def test_desire_loss_gradients_flow_everywhere():
+    cfg = tiny_cfg()
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg)
+    xy, mask, ids = _toy_batch(cfg)
+
+    def f(p):
+        return desire.desire_loss(p, cfg, xy, mask, ids,
+                                  key=jax.random.PRNGKey(1), step=100)[0]
+    grads = jax.jit(jax.grad(f))(params)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    norms = [float(jnp.linalg.norm(g)) for g in flat]
+    assert all(np.isfinite(n) for n in norms)
+    # every module must receive gradient (no dead branches)
+    n_zero = sum(1 for n in norms if n == 0.0)
+    assert n_zero <= 2, f"{n_zero}/{len(norms)} zero-grad leaves"
+
+
+def test_dead_agents_do_not_affect_loss():
+    """Changing a dead agent's coordinates must not change the loss."""
+    cfg = tiny_cfg(use_social=False)  # social pooling sees only live agents anyway
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg)
+    xy, mask, ids = _toy_batch(cfg)
+    l1 = float(desire.desire_loss(params, cfg, xy, mask, ids,
+                                  key=jax.random.PRNGKey(1), step=0)[0])
+    xy2 = xy.at[:, :, -1, :].set(0.77)  # move the dead agent
+    l2 = float(desire.desire_loss(params, cfg, xy2, mask, ids,
+                                  key=jax.random.PRNGKey(1), step=0)[0])
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_sgm_only_config():
+    cfg = tiny_cfg(use_ioc=False, use_scf=False)
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg)
+    assert "ioc" not in params
+    xy, mask, ids = _toy_batch(cfg)
+    loss, metrics = desire.desire_loss(params, cfg, xy, mask, ids,
+                                       key=jax.random.PRNGKey(1), step=0)
+    assert np.isfinite(float(loss))
+    assert "ioc_ce" not in metrics
+
+
+def test_bfloat16_compute_path():
+    cfg = tiny_cfg(compute_dtype="bfloat16")
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg)
+    xy, mask, ids = _toy_batch(cfg)
+    loss, _ = jax.jit(
+        lambda p, x, m, i: desire.desire_loss(p, cfg, x, m, i,
+                                              key=jax.random.PRNGKey(1), step=0)
+    )(params, xy, mask, ids)
+    assert np.isfinite(float(loss))
+    assert loss.dtype == jnp.float32  # loss accumulates in fp32
