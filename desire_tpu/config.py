@@ -66,6 +66,12 @@ class DesireConfig:
     w_ce: float = 1.0            # IOC ranking cross-entropy
     w_reg: float = 1.0           # refinement regression
     kld_warmup: int = 200        # steps of linear KLD annealing (0 = off)
+    recon_agg: str = "min"       # NLL aggregation over K lanes: 'min' =
+    #                              best-of-K / variety loss (optimizes the
+    #                              minADE metric and resists lane collapse);
+    #                              'mean' = every lane to GT (paper CVAE)
+    kld_free_bits: float = 0.1   # per-dim KL floor (0 = off); keeps the
+    #                              latent informative (anti posterior-collapse)
 
     # ---- TPU execution ----
     compute_dtype: str = "bfloat16"  # activations dtype; params/optimizer stay fp32

@@ -1,0 +1,82 @@
+"""Inference-time sampling + the evaluation harness.
+
+TPU-native counterpart of the reference ``DESIREModel.sample``
+(/root/reference/model/model.py:613-688): instead of a Python loop of
+per-step session.runs with numpy multivariate draws (hot loop #4, SURVEY
+§3.5), one jitted forward produces all K hypotheses for every agent at once;
+stochastic rollouts draw from the per-step bivariate Gaussians with a
+counter-based PRNG inside the same program.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from desire_tpu.config import DesireConfig
+from desire_tpu.eval import metrics as M
+from desire_tpu.models import desire, losses
+from desire_tpu.train.trainer import batch_to_device
+
+
+def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
+    """Returns jitted fn(params, xy, mask, ids, key) ->
+    dict(traj (B,A,K,T,2), scores, best (B,A,T,2))."""
+    def fn(params, xy, mask, ids, key):
+        k1, k2 = jax.random.split(key)
+        out = desire.desire_forward(params, cfg, xy, mask, ids, key=k1,
+                                    k_samples=k_samples, train=False)
+        traj = out["refined_traj"]
+        if stochastic:
+            # draw positions from the SGM per-step gaussians, then re-apply
+            # the IOC refinement deltas on top of the drawn means
+            drawn = losses.sample_bivariate(out["raw5"].astype(jnp.float32), k2)
+            traj = traj + (drawn - out["sgm_traj"])
+        scores = out["scores"]
+        if scores is None:
+            scores = jnp.zeros(traj.shape[:3], traj.dtype)
+        best = M.best_of_k_by_score(traj, scores)
+        return {"traj": traj, "scores": scores, "best": best,
+                "fut_mask": out["fut_mask"], "live": out["live"],
+                "fut_xy": out["fut_xy"]}
+    return jax.jit(fn)
+
+
+def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
+             key=None, max_batches=None, epoch: int = 0) -> dict:
+    """minADE/minFDE (pixels) over a loader's epoch stream."""
+    sampler = make_sampler(cfg, k_samples=k_samples)
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed + 1)
+    ades, fdes, best_ades, weights = [], [], [], []
+    for bi, batch in enumerate(loader.epoch_batches(epoch)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        xy, mask, ids = batch_to_device(batch)
+        key, sub = jax.random.split(key)
+        out = sampler(params, xy, mask, ids, sub)
+        scale = jnp.asarray(batch.scale)
+        a, f = M.min_ade_fde(out["traj"].astype(jnp.float32),
+                             out["fut_xy"].astype(jnp.float32),
+                             out["fut_mask"].astype(jnp.float32),
+                             out["live"].astype(jnp.float32), scale=scale)
+        # top-1 (ranked) ADE: the IOC's pick, not the oracle best-of-K
+        b_ade, _ = M.min_ade_fde(out["best"][:, :, None].astype(jnp.float32),
+                                 out["fut_xy"].astype(jnp.float32),
+                                 out["fut_mask"].astype(jnp.float32),
+                                 out["live"].astype(jnp.float32), scale=scale)
+        n_live = float(jnp.sum(out["live"]))
+        ades.append(float(a) * n_live)
+        fdes.append(float(f) * n_live)
+        best_ades.append(float(b_ade) * n_live)
+        weights.append(n_live)
+    w = max(sum(weights), 1e-8)
+    return {
+        "minADE_px": sum(ades) / w,
+        "minFDE_px": sum(fdes) / w,
+        "top1ADE_px": sum(best_ades) / w,
+        "num_agents": sum(weights),
+        "K": k_samples or cfg.num_samples,
+    }

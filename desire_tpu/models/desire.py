@@ -25,6 +25,7 @@ from desire_tpu.models import layers as L
 from desire_tpu.models import losses
 from desire_tpu.models import scf as scf_mod
 from desire_tpu.models import sgm as sgm_mod
+from desire_tpu.parallel.sharding import shard_hint
 
 
 def init_desire(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
@@ -52,8 +53,8 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
     """End-to-end forward. Returns a dict of all stage outputs."""
     K = k_samples or cfg.num_samples
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    xy = xy.astype(compute_dtype)
-    mask = mask.astype(compute_dtype)
+    xy = shard_hint(xy.astype(compute_dtype), "data")
+    mask = shard_hint(mask.astype(compute_dtype), "data")
 
     b, _, a, _ = xy.shape
     obs_xy, fut_xy, obs_mask, fut_mask = split_batch(cfg, xy, mask)
@@ -102,10 +103,12 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
     """Multi-task training loss + metrics.
 
     NLL term: per the reference semantics (C14/C16) the bivariate NLL is
-    summed over prediction steps and masked-averaged over live agents; it is
-    averaged (not min-ed) over the K lanes — every CVAE sample is trained
-    toward the ground truth, exactly as a CVAE reconstruction term demands
-    (each z_k is a reparameterized draw of the recognition posterior).
+    summed over prediction steps and masked-averaged over live agents.
+    Aggregation over the K lanes follows cfg.recon_agg: 'mean' trains every
+    CVAE sample toward the ground truth (the paper's CVAE term); 'min'
+    (default) is the best-of-K / variety loss — only the closest lane pays,
+    which directly optimizes the minADE@K headline metric and structurally
+    resists hypothesis collapse.
     """
     out = desire_forward(params, cfg, xy, mask, ids, key=key,
                          k_samples=k_samples, train=True)
@@ -118,10 +121,15 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
         raw5, fut_xy[:, :, None].astype(f32),
         step_mask=fut_mask[:, :, None].astype(f32))
     nll_per_lane = jnp.sum(nll_steps, axis=-1)            # sum over steps (C14)
-    nll = losses.masked_mean(jnp.mean(nll_per_lane, axis=-1), live)
+    if cfg.recon_agg == "min":
+        nll_agg = jnp.min(nll_per_lane, axis=-1)
+    else:
+        nll_agg = jnp.mean(nll_per_lane, axis=-1)
+    nll = losses.masked_mean(nll_agg, live)
 
     kld = losses.masked_mean(
-        losses.kld_normal(out["z_mu"].astype(f32), out["z_logvar"].astype(f32)),
+        losses.kld_normal(out["z_mu"].astype(f32), out["z_logvar"].astype(f32),
+                          free_bits=cfg.kld_free_bits),
         live)
     w_kld = cfg.w_kld
     if cfg.kld_warmup and step is not None:

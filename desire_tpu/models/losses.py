@@ -26,12 +26,15 @@ All functions are pure jnp, shape-polymorphic, and jit/vmap/pjit-safe.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 # Matches the reference's numerical-stability floor (model/model.py:544).
+# (python float, not jnp: module import must not initialize a jax backend)
 _PDF_EPS = 1e-20
-_LOG_PDF_FLOOR = jnp.log(_PDF_EPS)  # ~ -46.05
+_LOG_PDF_FLOOR = math.log(_PDF_EPS)  # ~ -46.05
 # Stability bounds for exp() on raw log-sigma outputs.
 _LOG_SIGMA_MIN = -9.0
 _LOG_SIGMA_MAX = 6.0
@@ -87,14 +90,20 @@ def bivariate_nll(raw, target_xy, step_mask=None, floor=True):
     return nll
 
 
-def kld_normal(mean, log_var, axis=-1):
+def kld_normal(mean, log_var, axis=-1, free_bits=0.0):
     """KL( N(mean, exp(log_var)) || N(0, I) ), summed over `axis`.
 
     Exactly the reference latent loss (model/model.py:587-589):
     ``-0.5 * sum(1 + log_var - mean^2 - exp(log_var))``.
+
+    free_bits > 0 floors each dimension's KL contribution at that value
+    before summing (Kingma et al. 2016) — dims already below the floor stop
+    receiving KL gradient, which protects the latent from posterior collapse.
     """
-    return -0.5 * jnp.sum(1.0 + log_var - jnp.square(mean) - jnp.exp(log_var),
-                          axis=axis)
+    per_dim = -0.5 * (1.0 + log_var - jnp.square(mean) - jnp.exp(log_var))
+    if free_bits > 0.0:
+        per_dim = jnp.maximum(per_dim, free_bits)
+    return jnp.sum(per_dim, axis=axis)
 
 
 def masked_mean(values, mask, eps=1e-8):
@@ -137,7 +146,10 @@ def ioc_cross_entropy(scores, hyp_xy, gt_xy, agent_mask, step_mask=None,
     mean displacement error of hypothesis k; loss = CE(q, softmax(scores)),
     masked-mean over agents.
     """
-    d = jnp.linalg.norm(hyp_xy - gt_xy[..., None, :, :], axis=-1)  # (..., K, T)
+    diff = hyp_xy - gt_xy[..., None, :, :]
+    # eps-guarded norm: plain L2 has a NaN gradient at exactly-zero distance,
+    # which dead (masked) agents hit (hypothesis == GT == origin).
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)            # (..., K, T)
     if step_mask is not None:
         sm = step_mask[..., None, :]
         d = jnp.sum(d * sm, axis=-1) / jnp.maximum(jnp.sum(sm, axis=-1), 1e-8)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from desire_tpu.config import DesireConfig
 from desire_tpu.models import layers as L
+from desire_tpu.parallel.sharding import shard_hint
 
 
 def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
@@ -80,6 +81,15 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
         "vdec4": L.init_conv(ks[13], 5, 5, 32, 1, dtype),
         # post-VAE mask head (reference w_post_vae, model/model.py:439-443)
         "post_vae": L.init_dense(ks[14], cfg.vae_input_size, d, dtype),
+        # direct z -> mask-logits / seed paths. The DESIRE paper computes the
+        # softmax mask from z through an fc directly; the reference instead
+        # routes z through 4 deconvs + sigmoid first (model/model.py:266-276),
+        # which attenuates the latent signal to ~1% of a constant background —
+        # measured to collapse all K lanes within an epoch. Both paths kept:
+        # mask logits get dense(recon) + dense(z); the seed gets an additive
+        # z projection.
+        "z_gate": L.init_dense(jax.random.fold_in(key, 98), lat, d, dtype),
+        "z_skip": L.init_dense(jax.random.fold_in(key, 97), lat, d, dtype),
         # K-lane GRU decoder + bivariate head
         "dec": L.init_gru_stack(ks[15], d, d, cfg.num_layers, dtype),
         "head": L.init_dense(jax.random.fold_in(key, 99), d, 5, dtype),
@@ -136,14 +146,25 @@ def vae_encode(p, hx, hy, side):
 
 def vae_decode_mask(p, z, side):
     """Deconv decode z -> 32x32 'reconstruction' -> softmax mask beta
-    (reference model/model.py:266-276). z: (M, latent) -> beta (M, d)."""
+    (reference model/model.py:266-276). z: (M, latent) -> beta (M, d).
+
+    Deviations from the reference masking head (model/model.py:271-276),
+    both measured necessary to avoid total K-lane collapse:
+    * no relu before the softmax (dead-ReLU trap: an all-negative row makes
+      the softmax exactly uniform with zero gradient forever);
+    * the mask logits get a direct dense(z) term (the paper's fc-from-z
+      masking) on top of dense(recon), and the softmax is rescaled to mean 1
+      so the gate modulates rather than shrinks the encoding by 1/d.
+    """
     h = z[:, None, None, :]
     h = jax.nn.elu(L.groupnorm(p["vdgn1"], L.deconv2d(p["vdec1"], h, padding="VALID")))
     h = jax.nn.elu(L.groupnorm(p["vdgn2"], L.deconv2d(p["vdec2"], h, padding="VALID")))
     h = jax.nn.elu(L.groupnorm(p["vdgn3"], L.deconv2d(p["vdec3"], h, stride=2)))
     h = jax.nn.sigmoid(L.deconv2d(p["vdec4"], h, stride=2))
     recon = h.reshape(h.shape[0], -1)                   # (M, side*side)
-    beta = jax.nn.softmax(jax.nn.relu(L.dense(p["post_vae"], recon)), axis=-1)
+    d = p["post_vae"]["w"].shape[-1]
+    logits = L.dense(p["post_vae"], recon) + L.dense(p["z_gate"], z)
+    beta = jax.nn.softmax(logits, axis=-1) * d
     return beta, recon
 
 
@@ -204,13 +225,19 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
         mu = logvar = None
         z = jax.random.normal(key, (n, K, lat), hx.dtype)
 
-    beta, recon = vae_decode_mask(p, z.reshape(n * K, lat), side)
-    h_seed = beta * jnp.repeat(hx, K, axis=0)             # (N*K, d)
+    # K hypothesis lanes shard over the mesh 'k' axis (SURVEY §2.3: the
+    # sequence-parallel analogue of this model); rows stay on 'data'.
+    z = shard_hint(z, "data", "k")
+    z_flat = z.reshape(n * K, lat)
+    beta, recon = vae_decode_mask(p, z_flat, side)
+    # additive z projection keeps a first-class linear path from the latent
+    # into the decoder (see init_sgm z_skip comment)
+    h_seed = beta * jnp.repeat(hx, K, axis=0) + L.dense(p["z_skip"], z_flat)
     h_init = jnp.repeat(hx_all, K, axis=1)                # (L, N*K, d)
 
     raw, dec_h = decode_hypotheses(p, cfg, h_seed, h_init, pred_len)
-    raw = raw.reshape(n, K, pred_len, 5)
-    dec_h = dec_h.reshape(n, K, pred_len, -1)
+    raw = shard_hint(raw.reshape(n, K, pred_len, 5), "data", "k")
+    dec_h = shard_hint(dec_h.reshape(n, K, pred_len, -1), "data", "k")
     raw5 = compose_positions(raw, origin[:, None, :])     # abs-position params
 
     return {

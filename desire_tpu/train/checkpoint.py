@@ -1,0 +1,91 @@
+"""Orbax checkpoint / resume (SURVEY §5 checkpoint row).
+
+The reference half-implemented this: a tf.train.Saver wrote
+save/social_model.ckpt every 400 steps (train.py:197-205) but **no restore
+path existed anywhere** — training always restarted from scratch. Here:
+full state (params, optimizer, step, PRNG key, data-pipeline position) with
+keep-latest-N, plus the config serialized alongside (the reference pickled
+argparse args to save/config.pkl, train.py:102-103 — we write JSON).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from desire_tpu.config import DesireConfig
+from desire_tpu.data.loader import LoaderState
+from desire_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                 create=True),
+        )
+
+    def save(self, state: TrainState, loader_state: LoaderState,
+             cfg: DesireConfig, wait: bool = False) -> None:
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "key": np.asarray(jax.random.key_data(state.key))
+            if jax.dtypes.issubdtype(state.key.dtype, jax.dtypes.prng_key)
+            else np.asarray(state.key),
+            "loader_epoch": np.asarray(loader_state.epoch),
+            "loader_batch": np.asarray(loader_state.batch_index),
+        }
+        self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
+        with open(os.path.join(self.directory, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, template_state: TrainState
+                ) -> tuple[TrainState, LoaderState] | None:
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        template = {
+            "params": template_state.params,
+            "opt_state": template_state.opt_state,
+            "step": np.asarray(template_state.step),
+            "key": np.asarray(jax.random.key_data(template_state.key))
+            if jax.dtypes.issubdtype(template_state.key.dtype,
+                                     jax.dtypes.prng_key)
+            else np.asarray(template_state.key),
+            "loader_epoch": np.asarray(0),
+            "loader_batch": np.asarray(0),
+        }
+        got = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        key = got["key"]
+        key = jax.random.wrap_key_data(np.asarray(key))
+        state = TrainState(step=jax.numpy.asarray(got["step"]),
+                           params=got["params"],
+                           opt_state=got["opt_state"], key=key)
+        loader_state = LoaderState(epoch=int(got["loader_epoch"]),
+                                   batch_index=int(got["loader_batch"]))
+        return state, loader_state
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+
+def load_config(directory: str) -> DesireConfig | None:
+    path = os.path.join(directory, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return DesireConfig.from_json(f.read())

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Evaluation / sampling entry point — replaces the reference's tryout.py
+scratch script (SURVEY §7.1 item 8) with a real harness: best-of-K
+minADE/minFDE @4.8s in pixels, IOC top-1 metrics, and trajectory dumps.
+
+Examples:
+  python evaluate.py --save_dir save/ --data_dir /root/reference/data \
+      --scenes coupa --num_samples 20
+  python evaluate.py --random_params 1 --scenes bookstore   # smoke, no ckpt
+"""
+
+import argparse
+import json
+
+import jax
+
+from desire_tpu.config import DesireConfig, add_config_flags, config_from_args
+from desire_tpu.data.loader import SDDLoader
+from desire_tpu.eval.sampler import evaluate
+from desire_tpu.models.desire import init_desire
+from desire_tpu.train import checkpoint as ckpt_mod
+from desire_tpu.train.state import create_train_state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_config_flags(parser)
+    parser.add_argument("--max_eval_batches", type=int, default=0,
+                        help="0 = full epoch")
+    parser.add_argument("--random_params", type=int, default=0,
+                        help="skip checkpoint loading (smoke test)")
+    parser.add_argument("--platform", type=str, default="")
+    args = parser.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = config_from_args(args)
+    saved_cfg = ckpt_mod.load_config(cfg.save_dir) if cfg.save_dir else None
+    if saved_cfg is not None and not args.random_params:
+        # keep model geometry from the checkpoint; data/eval flags from CLI
+        for field in ("d_dim", "latent_size", "embedding_size", "rnn_size",
+                      "num_layers", "channel_multiplier", "scene_grid",
+                      "scene_channels", "use_ioc", "use_scf", "use_social",
+                      "num_refine"):
+            cfg = cfg.replace(**{field: getattr(saved_cfg, field)})
+
+    loader = SDDLoader(cfg)
+    params = init_desire(jax.random.PRNGKey(cfg.seed), cfg)
+    if not args.random_params:
+        state = create_train_state(cfg, params, loader.num_batches)
+        mgr = ckpt_mod.CheckpointManager(cfg.save_dir)
+        got = mgr.restore(state)
+        if got is None:
+            raise SystemExit(f"no checkpoint found in {cfg.save_dir}")
+        params = got[0].params
+
+    result = evaluate(params, cfg, loader,
+                      max_batches=args.max_eval_batches or None)
+    print(json.dumps(result, sort_keys=True))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -22,5 +22,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent compilation cache: the model graphs compile once per machine,
+# not once per pytest invocation (CPU compiles of the full model are ~30-90s).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert jax.device_count() == 8, "tests expect 8 virtual CPU devices"

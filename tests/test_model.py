@@ -76,7 +76,8 @@ def test_conv_deconv_geometry():
                                       cfg.vae_side)
     assert recon.shape == (2, cfg.vae_input_size)
     assert beta.shape == (2, cfg.d_dim)
-    np.testing.assert_allclose(np.asarray(beta.sum(-1)), 1.0, rtol=1e-5)
+    # mean-1 gate: softmax rescaled by d (see vae_decode_mask docstring)
+    np.testing.assert_allclose(np.asarray(beta.sum(-1)), cfg.d_dim, rtol=1e-4)
 
 
 def test_groupnorm_normalizes():

@@ -1,0 +1,220 @@
+"""Integration tier (SURVEY §4): optimizer steps reduce loss on a micro
+dataset; checkpoint/resume round-trips; eval metrics are correct.
+
+The heavy pieces (model compile, loader) are module-scoped so the full-model
+XLA compile happens once for all training tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from desire_tpu.config import DesireConfig
+from desire_tpu.data.loader import SDDLoader
+from desire_tpu.eval import metrics as M
+from desire_tpu.eval.sampler import evaluate, make_sampler
+from desire_tpu.models.desire import init_desire
+from desire_tpu.train import checkpoint as ckpt_mod
+from desire_tpu.train import trainer
+from desire_tpu.train.state import create_train_state
+
+
+def _micro_dataset(root, frames=90):
+    """One synthetic video: agents moving on straight lines (learnable)."""
+    rng = np.random.RandomState(0)
+    recs = []
+    for aid in range(1, 7):
+        v = rng.uniform(-1.5, 1.5, 2)
+        p0 = rng.uniform(20, 80, 2)
+        for f in range(frames):
+            p = p0 + v * f
+            recs.append((f, aid, p[0], p[1]))
+    arr = np.asarray(recs, dtype=np.float64).T
+    path = os.path.join(str(root), "scene/video0/annotations_processed.csv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for row in arr:
+            f.write(",".join(f"{x:g}" for x in row) + "\n")
+    return str(root)
+
+
+def micro_cfg(data_dir, **kw):
+    base = dict(batch_size=4, max_num_obj=8, obs_len=4, pred_len=4,
+                subsample=2, window_hop=2, num_samples=3, d_dim=16,
+                latent_size=8, embedding_size=8, channel_multiplier=10,
+                scene_grid=8, scene_channels=4, num_refine=2,
+                compute_dtype="float32", data_dir=data_dir, save_dir="",
+                learning_rate=3e-3, kld_warmup=50, seed=0)
+    base.update(kw)
+    return DesireConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    """Shared dataset + loader + ONE compiled train step for all tests."""
+    data_dir = _micro_dataset(tmp_path_factory.mktemp("micro"))
+    cfg = micro_cfg(data_dir)
+    loader = SDDLoader(cfg, use_native=False)
+    step_fn = trainer.make_train_step(cfg, loader.num_batches)
+    return {"cfg": cfg, "loader": loader, "step_fn": step_fn,
+            "data_dir": data_dir}
+
+
+def _fresh_state(env, seed=0):
+    cfg, loader = env["cfg"], env["loader"]
+    params = init_desire(jax.random.PRNGKey(seed), cfg)
+    return create_train_state(cfg, params, loader.num_batches)
+
+
+def test_train_step_decreases_loss(env):
+    cfg, loader, step_fn = env["cfg"], env["loader"], env["step_fn"]
+    state = _fresh_state(env)
+    first, last = None, None
+    for epoch in range(5):
+        state, mean_loss = trainer.run_epoch(state, loader, epoch, step_fn)
+        if first is None:
+            first = mean_loss
+        last = mean_loss
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first - 1.0, f"no learning: first={first}, last={last}"
+
+
+def test_checkpoint_resume_roundtrip(env, tmp_path):
+    cfg, loader, step_fn = env["cfg"], env["loader"], env["step_fn"]
+    state = _fresh_state(env)
+    state, _ = trainer.run_epoch(state, loader, 0, step_fn)
+
+    mgr = ckpt_mod.CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, loader.state, cfg, wait=True)
+
+    template = _fresh_state(env, seed=42)
+    got = mgr.restore(template)
+    assert got is not None
+    restored, lst = got
+    assert int(restored.step) == int(state.step)
+    assert lst.epoch == loader.state.epoch
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored PRNG stream continues identically
+    k1 = jax.random.normal(jax.random.split(state.key)[1], (4,))
+    k2 = jax.random.normal(jax.random.split(restored.key)[1], (4,))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    # saved config round-trips
+    assert ckpt_mod.load_config(str(tmp_path / "ckpt")).obs_len == cfg.obs_len
+    # training continues from the restored state (same compiled step_fn)
+    restored, loss = trainer.run_epoch(restored, loader, lst.epoch + 1, step_fn)
+    assert np.isfinite(loss)
+    assert int(restored.step) == int(state.step) + loader.num_batches
+
+
+def _bimodal_batch(key, b=16, a=2, obs=4, fut=4):
+    """Straight observed motion; future turns up OR down (unpredictable from
+    the past). The optimal best-of-K strategy must spread hypotheses."""
+    kd, = jax.random.split(key, 1)
+    turn = jax.random.bernoulli(kd, shape=(b, a)).astype(jnp.float32) * 2 - 1
+    t_obs = jnp.arange(obs, dtype=jnp.float32)
+    t_fut = jnp.arange(1, fut + 1, dtype=jnp.float32)
+    x_obs = 0.2 + 0.03 * t_obs
+    x_fut = x_obs[-1] + 0.0 * t_fut
+    y0 = 0.5
+    xy = jnp.zeros((b, obs + fut, a, 2))
+    xy = xy.at[:, :obs, :, 0].set(x_obs[None, :, None])
+    xy = xy.at[:, :obs, :, 1].set(y0)
+    xy = xy.at[:, obs:, :, 0].set(x_fut[None, :, None])
+    y_fut = y0 + turn[:, None, :] * 0.04 * t_fut[None, :, None]
+    xy = xy.at[:, obs:, :, 1].set(y_fut)
+    mask = jnp.ones((b, obs + fut, a))
+    ids = jnp.ones((b, a))
+    return xy, mask, ids
+
+
+def test_cvae_best_of_k_covers_bimodal_future():
+    """Anti-collapse: with the variety (min-over-K) loss, the trained sampler
+    must place hypotheses on BOTH modes of a bimodal future. Guards the
+    dead-ReLU masking-head trap inherited from the reference
+    (model/model.py:275-276) and posterior collapse generally."""
+    cfg = micro_cfg("unused", use_ioc=False, use_scf=False, obs_len=4,
+                    pred_len=4, num_samples=4, batch_size=16, max_num_obj=2,
+                    recon_agg="min", kld_free_bits=0.1, learning_rate=3e-3,
+                    kld_warmup=100)
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    state = create_train_state(cfg, params, steps_per_epoch=1000)
+    step_fn = trainer.make_train_step(cfg, 1000)
+    for i in range(60):
+        xy, mask, ids = _bimodal_batch(jax.random.PRNGKey(100 + i))
+        state, m = step_fn(state, xy, mask, ids)
+    from desire_tpu.models.desire import desire_forward
+    xy, mask, ids = _bimodal_batch(jax.random.PRNGKey(999))
+    out = jax.jit(lambda p: desire_forward(
+        p, cfg, xy, mask, ids, key=jax.random.PRNGKey(7), train=False))(
+        state.params)
+    traj = np.asarray(out["sgm_traj"], np.float32)        # (B, A, K, Tf, 2)
+    lane_std = traj.std(axis=2).mean()
+    assert lane_std > 1e-3, f"lanes collapsed: std={lane_std}"
+    # diversity must pay on a bimodal future: best-of-K displacement beats
+    # any single lane clearly (a collapsed sampler scores ratio ~1.0)
+    gt = np.asarray(xy[:, cfg.obs_len:], np.float32).transpose(0, 2, 1, 3)
+    err = np.linalg.norm(traj - gt[:, :, None], axis=-1).mean(-1)  # (B,A,K)
+    min_ade = err.min(-1).mean()
+    lane0_ade = err[..., 0].mean()
+    ratio = min_ade / lane0_ade
+    assert ratio < 0.8, f"best-of-K not better than single lane: {ratio:.2f}"
+
+
+def test_min_ade_fde_closed_form():
+    # 1 batch, 2 agents, 2 hypotheses, 3 steps
+    gt = jnp.zeros((1, 2, 3, 2))
+    pred = jnp.zeros((1, 2, 2, 3, 2))
+    pred = pred.at[0, 0, 0].set(1.0)      # agent0 hyp0: offset (1,1) each step
+    pred = pred.at[0, 0, 1].set(2.0)      # agent0 hyp1: worse
+    pred = pred.at[0, 1, 0].set(3.0)
+    pred = pred.at[0, 1, 1, -1].set(1.0)  # agent1 hyp1: error only at last step
+    sm = jnp.ones((1, 2, 3))
+    am = jnp.ones((1, 2))
+    ade, fde = M.min_ade_fde(pred, gt, sm, am)
+    # agent0 best ADE = sqrt2; agent1 best = hyp1 with ADE sqrt2/3
+    want_ade = (np.sqrt(2) + np.sqrt(2) / 3) / 2
+    np.testing.assert_allclose(float(ade), want_ade, rtol=1e-5)
+    # FDE: agent0 sqrt2, agent1 min(3*sqrt2 at last, sqrt2) = sqrt2
+    np.testing.assert_allclose(float(fde), np.sqrt(2), rtol=1e-5)
+
+
+def test_min_ade_fde_respects_step_mask():
+    gt = jnp.zeros((1, 1, 4, 2))
+    pred = jnp.zeros((1, 1, 1, 4, 2)).at[0, 0, 0, 3].set(9.0)  # err at step 3
+    am = jnp.ones((1, 1))
+    # step 3 masked out -> FDE at step 2 (last valid), err 0
+    sm = jnp.array([[[1, 1, 1, 0]]], jnp.float32)
+    ade, fde = M.min_ade_fde(pred, gt, sm, am)
+    assert float(ade) == 0.0 and float(fde) == 0.0
+
+
+def test_best_of_k_by_score():
+    pred = jnp.stack([jnp.zeros((1, 1, 3, 2)), jnp.ones((1, 1, 3, 2))],
+                     axis=2)  # (1,1,2,3,2)
+    scores = jnp.array([[[0.1, 5.0]]])
+    best = M.best_of_k_by_score(pred, scores)
+    np.testing.assert_array_equal(np.asarray(best), np.ones((1, 1, 3, 2)))
+
+
+def test_evaluate_harness_runs(env):
+    cfg, loader = env["cfg"], env["loader"]
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    res = evaluate(params, cfg, loader, max_batches=2)
+    assert np.isfinite(res["minADE_px"]) and np.isfinite(res["minFDE_px"])
+    assert res["minADE_px"] <= res["top1ADE_px"] + 1e-6  # oracle <= ranked
+    assert res["num_agents"] > 0
+
+
+def test_stochastic_sampler_differs_from_mean(env):
+    cfg, loader = env["cfg"], env["loader"]
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    b = loader.materialize(4)
+    xy, mask, ids = trainer.batch_to_device(b)
+    det = make_sampler(cfg)(params, xy, mask, ids, jax.random.PRNGKey(5))
+    sto = make_sampler(cfg, stochastic=True)(params, xy, mask, ids,
+                                             jax.random.PRNGKey(5))
+    assert not np.allclose(np.asarray(det["traj"]), np.asarray(sto["traj"]))

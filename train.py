@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Training entry point — flag-compatible with the reference
+(/root/reference/train.py:24-91) plus the promoted/new flags
+(desire_tpu.config). Unlike the reference (whose train op was never wired,
+SURVEY §8), this trains: jitted batch-level Adam steps, checkpoints with
+resume, JSONL metrics, periodic eval.
+
+Examples:
+  python train.py --data_dir /root/reference/data --scenes bookstore \
+      --num_epochs 5 --batch_size 32
+  python train.py --resume 1 --save_dir save/   # continue from latest ckpt
+"""
+
+import argparse
+import os
+import sys
+
+import jax
+
+from desire_tpu.config import DesireConfig, add_config_flags, config_from_args
+from desire_tpu.data.loader import SDDLoader
+from desire_tpu.eval.sampler import evaluate
+from desire_tpu.models.desire import init_desire
+from desire_tpu.parallel import mesh as mesh_mod
+from desire_tpu.train import checkpoint as ckpt_mod
+from desire_tpu.train import trainer
+from desire_tpu.train.state import create_train_state
+from desire_tpu.utils.logging import MetricLogger
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_config_flags(parser)
+    parser.add_argument("--resume", type=int, default=0,
+                        help="resume from the latest checkpoint in save_dir")
+    parser.add_argument("--eval_every", type=int, default=1,
+                        help="epochs between eval passes (0 = off)")
+    parser.add_argument("--max_eval_batches", type=int, default=16)
+    parser.add_argument("--max_train_batches", type=int, default=0,
+                        help="cap batches per epoch (0 = all; for smoke runs)")
+    parser.add_argument("--platform", type=str, default="",
+                        help="force a jax platform (e.g. cpu)")
+    args = parser.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cfg = config_from_args(args)
+    train(cfg, resume=bool(args.resume), eval_every=args.eval_every,
+          max_eval_batches=args.max_eval_batches,
+          max_train_batches=args.max_train_batches or None)
+
+
+def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
+          max_eval_batches: int = 16, max_train_batches: int | None = None):
+    log = MetricLogger(os.path.join(cfg.save_dir, "metrics.jsonl")
+                       if cfg.save_dir else None)
+    loader = SDDLoader(cfg)
+    log.log({"event": "data", "videos": len(loader.videos),
+             "windows": loader.num_windows, "batches": loader.num_batches})
+
+    mesh = None
+    if cfg.mesh_data * cfg.mesh_k > 1:
+        mesh = mesh_mod.make_mesh(cfg.mesh_data, cfg.mesh_k)
+
+    params = init_desire(jax.random.PRNGKey(cfg.seed), cfg)
+    state = create_train_state(cfg, params, loader.num_batches)
+    mgr = ckpt_mod.CheckpointManager(cfg.save_dir) if cfg.save_dir else None
+
+    start_epoch, start_batch = 0, 0
+    if resume and mgr is not None:
+        got = mgr.restore(state)
+        if got is not None:
+            state, lst = got
+            start_epoch, start_batch = lst.epoch, lst.batch_index
+            if start_batch >= loader.num_batches:
+                start_epoch, start_batch = start_epoch + 1, 0
+            log.log({"event": "resume", "step": int(state.step),
+                     "epoch": start_epoch, "batch": start_batch})
+
+    step_fn = trainer.make_train_step(cfg, loader.num_batches, mesh=mesh)
+
+    save_interval = max(cfg.save_every // max(cfg.batch_size, 1), 1)
+    for epoch in range(start_epoch, cfg.num_epochs):
+        def log_fn(m, _epoch=epoch):
+            log.log(dict(m, event="train"))
+            if mgr is not None and m["batch"] % save_interval == 0 and m["batch"] > 0:
+                mgr.save(state, loader.state, cfg)
+        state, mean_loss = trainer.run_epoch(
+            state, loader, epoch, step_fn, log_fn=log_fn,
+            start_batch=start_batch if epoch == start_epoch else 0, mesh=mesh,
+            max_batches=max_train_batches)
+        log.log({"event": "epoch", "epoch": epoch, "mean_loss": mean_loss})
+        if mgr is not None:
+            mgr.save(state, loader.state, cfg)
+        if eval_every and (epoch + 1) % eval_every == 0:
+            ev = evaluate(state.params, cfg, loader,
+                          max_batches=max_eval_batches)
+            log.log(dict(ev, event="eval", epoch=epoch))
+    if mgr is not None:
+        mgr.wait()
+    return state
+
+
+if __name__ == "__main__":
+    main()
