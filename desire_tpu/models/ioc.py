@@ -81,8 +81,10 @@ def ioc_forward(p_ioc, p_scf, cfg: DesireConfig, traj, dec_h, feat_map,
     iters = cfg.num_refine if num_refine is None else num_refine
     per_iter = []
     scores = None
+    # social messages depend only on dec_h -> project once, reuse per iter
+    msg = scf.social_messages(p_scf, dec_h) if cfg.use_social else dec_h
     for _ in range(max(iters, 1)):
-        fused = scf.fuse_context(p_scf, cfg, traj, dec_h, feat_map, live)
+        fused = scf.fuse_context(p_scf, cfg, traj, msg, feat_map, live)
         scores, deltas, _ = score_and_delta(p_ioc, fused, fut_mask)
         traj = traj + deltas
         per_iter.append(traj)

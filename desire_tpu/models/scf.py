@@ -23,6 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from desire_tpu import ops
 from desire_tpu.config import DesireConfig
 from desire_tpu.models import layers as L
 
@@ -91,42 +92,60 @@ def bilinear_pool(feat_map, pos):
             gather(y1, x0) * w10 + gather(y1, x1) * w11)
 
 
-def social_pool(p, traj, dec_h, live):
+def social_messages(p, dec_h):
+    """Project decoder hiddens to social messages once per IOC pass (the
+    hiddens don't change across refinement iterations)."""
+    return L.dense(p["soc_msg"], dec_h)                   # (B, A, K, Tf, d)
+
+
+def social_pool(p, traj, msg, live):
     """Distance-kernel attention over agents, per hypothesis lane and step.
 
-    traj:  (B, A, K, Tf, 2) current hypothesis positions
-    dec_h: (B, A, K, Tf, d) decoder hiddens (the social messages' source)
-    live:  (B, A) agent validity
+    traj: (B, A, K, Tf, 2) current hypothesis positions
+    msg:  (B, A, K, Tf, d) social messages (social_messages())
+    live: (B, A) agent validity
     Returns (B, A, K, Tf, d): for each agent, the kernel-weighted sum of the
     *other* live agents' messages at the same lane/step.
+
+    MXU formulation: d2(i,j) = |y_i|^2 + |y_j|^2 - 2 y_i.y_j via a batched
+    (A,2)@(2,A) matmul, and the weighted sum is a batched (A,A)@(A,d) matmul —
+    the naive broadcast-diff materializes a (B,A,A,K,Tf,2) tensor (~0.4 GB at
+    flagship shapes, HBM-bound; measured ~37 ms/iteration).
     """
-    msg = L.dense(p["soc_msg"], dec_h)                    # (B, A, K, Tf, d)
-    # pairwise squared distances between agents i and j at each (k, t)
-    diff = traj[:, :, None] - traj[:, None, :]            # (B, A, A, K, Tf, 2)
-    d2 = jnp.sum(diff * diff, axis=-1)                    # (B, A, A, K, Tf)
+    b, a, k, tf, d = msg.shape
+    y = jnp.moveaxis(traj, 1, 3).reshape(b, k * tf, a, 2)   # (B, KT, A, 2)
+    m = jnp.moveaxis(msg, 1, 3).reshape(b, k * tf, a, d)    # (B, KT, A, d)
+    sq = jnp.sum(y * y, axis=-1)                            # (B, KT, A)
+    gram = jnp.einsum("bsic,bsjc->bsij", y, y,
+                      preferred_element_type=y.dtype)       # (B, KT, A, A)
+    d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * gram
     tau = jnp.exp(p["soc_logtau"]).astype(d2.dtype) + 1e-4
     logits = -d2 / tau
-    # mask self and dead agents
-    a = traj.shape[1]
-    eye = jnp.eye(a, dtype=bool)[None, :, :, None, None]
-    livej = (live[:, None, :, None, None] > 0)
+    eye = jnp.eye(a, dtype=bool)
+    livej = (live[:, None, None, :] > 0)                    # (B,1,1,A)
     logits = jnp.where(eye | ~livej, -1e9, logits)
-    w = jax.nn.softmax(logits, axis=2)
-    # zero out rows with no live neighbors (softmax over all -1e9 is uniform)
-    any_nb = jnp.sum((~eye & livej).astype(d2.dtype), axis=2) > 0
-    w = w * any_nb[:, :, None]
-    return jnp.einsum("bijkt,bjktd->biktd", w, msg,
-                      preferred_element_type=msg.dtype)
+    w = jax.nn.softmax(logits, axis=-1)                     # (B, KT, A, A)
+    # zero rows with no live neighbors (softmax over all -1e9 is uniform)
+    any_nb = jnp.sum((~eye & livej).astype(d2.dtype), axis=-1) > 0
+    w = w * any_nb[..., None]
+    out = jnp.einsum("bsij,bsjd->bsid", w, m,
+                     preferred_element_type=m.dtype)        # (B, KT, A, d)
+    return jnp.moveaxis(out.reshape(b, k, tf, a, d), 3, 1)
 
 
-def fuse_context(p, cfg: DesireConfig, traj, dec_h, feat_map, live):
+def fuse_context(p, cfg: DesireConfig, traj, msg, feat_map, live):
     """The SCF vector per (agent, lane, step): [velocity, scene, social].
 
-    traj (B,A,K,Tf,2) -> fused (B,A,K,Tf, 2 + scene_channels + d_dim)."""
+    traj (B,A,K,Tf,2), msg = social_messages(dec_h) ->
+    fused (B,A,K,Tf, 2 + scene_channels + d_dim)."""
     vel = jnp.diff(traj, axis=-2, prepend=traj[..., :1, :])
     b, a, k, tf, _ = traj.shape
-    scene = bilinear_pool(feat_map, traj.reshape(b, a * k * tf, 2))
+    if ops.use_pallas(cfg):
+        from desire_tpu.ops.scene_pool import bilinear_pool_pallas
+        scene = bilinear_pool_pallas(feat_map, traj.reshape(b, a * k * tf, 2))
+    else:
+        scene = bilinear_pool(feat_map, traj.reshape(b, a * k * tf, 2))
     scene = scene.reshape(b, a, k, tf, -1)
-    social = social_pool(p, traj, dec_h, live) if cfg.use_social else \
+    social = social_pool(p, traj, msg, live) if cfg.use_social else \
         jnp.zeros(traj.shape[:-1] + (cfg.d_dim,), traj.dtype)
     return jnp.concatenate([vel, scene, social], axis=-1)

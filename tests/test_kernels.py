@@ -1,0 +1,80 @@
+"""Kernel tier (SURVEY §4): Pallas kernels vs the pure-XLA reference
+implementations, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from desire_tpu.models import scf
+from desire_tpu.ops.scene_pool import bilinear_pool_pallas
+
+
+def _interior_positions(key, b, p, g, lo=0.15, hi=0.85):
+    """Positions away from cell boundaries (floor() is discontinuous there —
+    kernel and reference may legitimately pick different corners at exact
+    boundaries)."""
+    k1, k2 = jax.random.split(key)
+    cells = jax.random.randint(k1, (b, p, 2), 0, g - 1)
+    frac = jax.random.uniform(k2, (b, p, 2), minval=lo, maxval=hi)
+    return (cells + frac) / (g - 1)
+
+
+def test_scene_pool_forward_matches_xla():
+    b, g, c, p = 3, 16, 8, 700   # p deliberately not a multiple of the tile
+    fm = jax.random.normal(jax.random.PRNGKey(0), (b, g, g, c))
+    pos = _interior_positions(jax.random.PRNGKey(1), b, p, g)
+    out_k = bilinear_pool_pallas(fm, pos, True)   # interpret mode
+    out_x = scf.bilinear_pool(fm, pos)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+    assert out_k.shape == (b, p, c)
+
+
+def test_scene_pool_out_of_range_positions_clamp():
+    b, g, c = 2, 16, 8
+    fm = jax.random.normal(jax.random.PRNGKey(0), (b, g, g, c))
+    pos = jnp.array([[[-0.5, 0.5], [1.5, 0.5], [0.5, -3.0]]] * b)
+    out_k = bilinear_pool_pallas(fm, pos, True)
+    out_x = scf.bilinear_pool(fm, pos)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scene_pool_gradients_match_xla():
+    b, g, c, p = 2, 16, 8, 300
+    fm = jax.random.normal(jax.random.PRNGKey(0), (b, g, g, c))
+    pos = _interior_positions(jax.random.PRNGKey(1), b, p, g)
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (b, p, c))
+
+    def loss_k(f, x):
+        return jnp.sum((bilinear_pool_pallas(f, x, True) - tgt) ** 2)
+
+    def loss_x(f, x):
+        return jnp.sum((scf.bilinear_pool(f, x) - tgt) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(fm, pos)
+    gx = jax.grad(loss_x, argnums=(0, 1))(fm, pos)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gx[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gx[1]),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_scene_pool_grad_against_finite_differences():
+    """Independent check of d_pos (not vs our own XLA impl)."""
+    g, c = 16, 4
+    fm = jax.random.normal(jax.random.PRNGKey(0), (1, g, g, c))
+    pos = _interior_positions(jax.random.PRNGKey(1), 1, 4, g, 0.3, 0.7)
+
+    def f(x):
+        return jnp.sum(jnp.sin(bilinear_pool_pallas(fm, x, True)))
+
+    grad = jax.grad(f)(pos)
+    eps = 1e-4
+    for i in range(4):
+        for d in range(2):
+            dp = jnp.zeros_like(pos).at[0, i, d].set(eps)
+            fd = (f(pos + dp) - f(pos - dp)) / (2 * eps)
+            np.testing.assert_allclose(float(grad[0, i, d]), float(fd),
+                                       rtol=2e-2, atol=1e-3)

@@ -173,14 +173,14 @@ def test_social_pool_ignores_dead_and_self():
     traj = jnp.zeros((b, a, k, tf, 2))
     dec_h = jax.random.normal(jax.random.PRNGKey(1), (b, a, k, tf, d))
     live = jnp.array([[1.0, 1.0, 0.0]])
-    out = scf.social_pool(p, traj, dec_h, live)
+    msg = scf.social_messages(p, dec_h)
+    out = scf.social_pool(p, traj, msg, live)
     # agent 0's pool = message(agent 1) only (2 dead, self excluded)
-    msg1 = layers.dense(p["soc_msg"], dec_h[:, 1])
-    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(msg1),
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(msg[:, 1]),
                                rtol=1e-4, atol=1e-5)
     # a lone agent pools zeros
     live_alone = jnp.array([[1.0, 0.0, 0.0]])
-    out2 = scf.social_pool(p, traj, dec_h, live_alone)
+    out2 = scf.social_pool(p, traj, msg, live_alone)
     np.testing.assert_allclose(np.asarray(out2[:, 0]), 0.0, atol=1e-6)
 
 
