@@ -66,12 +66,20 @@ class DesireConfig:
     w_ce: float = 1.0            # IOC ranking cross-entropy
     w_reg: float = 1.0           # refinement regression
     kld_warmup: int = 200        # steps of linear KLD annealing (0 = off)
+    vel_scale: float = 0.25      # per-step displacement bound (scene units):
+    #                              decoder velocities are tanh-squashed to
+    #                              +-vel_scale, keeping hypotheses physical
+    #                              even for out-of-distribution prior draws
     recon_agg: str = "min"       # NLL aggregation over K lanes: 'min' =
     #                              best-of-K / variety loss (optimizes the
     #                              minADE metric and resists lane collapse);
     #                              'mean' = every lane to GT (paper CVAE)
     kld_free_bits: float = 0.1   # per-dim KL floor (0 = off); keeps the
     #                              latent informative (anti posterior-collapse)
+    ioc_temp: float = 0.05       # IOC CE target-distribution temperature, in
+    #                              normalized scene units (distances between
+    #                              hypotheses are ~0.05-0.3; temp 1.0 makes
+    #                              the ranking target uniform -> no signal)
 
     # ---- TPU execution ----
     compute_dtype: str = "bfloat16"  # activations dtype; params/optimizer stay fp32

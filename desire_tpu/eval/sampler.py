@@ -80,3 +80,45 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
         "num_agents": sum(weights),
         "K": k_samples or cfg.num_samples,
     }
+
+
+def make_rollout(cfg: DesireConfig, k_samples=None, stochastic=False):
+    """Long-horizon autoregressive rollout — the capability analogue of the
+    reference's ``DESIREModel.sample`` feed-back loop (model/model.py:643-685,
+    which fed each predicted frame back as the next input): predict a
+    ``pred_len`` chunk, append the top-ranked hypothesis to the observation
+    window, slide, repeat.
+
+    Returns jitted fn(params, obs_xy (B,A,To,2), obs_mask, ids, key,
+    num_chunks) -> (B, A, To + num_chunks*pred_len, 2). num_chunks is static.
+    """
+    sampler_core = make_sampler(cfg, k_samples=k_samples,
+                                stochastic=stochastic)
+
+    def fn(params, obs_xy, obs_mask, ids, key, num_chunks=1):
+        b, a, to, _ = obs_xy.shape
+        tf_len = cfg.pred_len
+        out = [obs_xy]
+        cur_xy, cur_mask = obs_xy, obs_mask
+        for _ in range(num_chunks):
+            key, sub = jax.random.split(key)
+            # assemble a (B, T, A, ·) batch with an empty future block
+            xy = jnp.concatenate(
+                [jnp.swapaxes(cur_xy, 1, 2),
+                 jnp.zeros((b, tf_len, a), cur_xy.dtype)[..., None].repeat(2, -1)],
+                axis=1)
+            mask = jnp.concatenate(
+                [jnp.swapaxes(cur_mask, 1, 2),
+                 jnp.broadcast_to(cur_mask[:, :, -1:],
+                                  (b, a, tf_len)).swapaxes(1, 2)], axis=1)
+            res = sampler_core(params, xy, mask, ids, sub)
+            best = res["best"].astype(cur_xy.dtype)        # (B, A, Tf, 2)
+            out.append(best)
+            # slide the window: keep the last To steps
+            cur_xy = jnp.concatenate([cur_xy, best], axis=2)[:, :, -to:]
+            cur_mask = jnp.concatenate(
+                [cur_mask, jnp.broadcast_to(cur_mask[:, :, -1:],
+                                            (b, a, tf_len))], axis=2)[:, :, -to:]
+        return jnp.concatenate(out, axis=2)
+
+    return jax.jit(fn, static_argnames=("num_chunks",))

@@ -143,7 +143,7 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
         live_t = live.astype(f32)
         ce = losses.ioc_cross_entropy(
             scores, out["refined_traj"].astype(f32), fut_xy.astype(f32),
-            live_t, step_mask=fut_mask.astype(f32))
+            live_t, step_mask=fut_mask.astype(f32), temperature=cfg.ioc_temp)
         reg = 0.0
         for t in out["per_iter_trajs"]:
             reg = reg + losses.refine_regression_loss(

@@ -44,21 +44,32 @@ def init_ioc(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
     }
 
 
-def score_and_delta(p, fused, fut_mask):
+def score_and_delta(p, feats, fut_mask, scene_channels):
     """Run the scoring GRU over one hypothesis set.
 
-    fused: (B, A, K, Tf, F); fut_mask: (B, A, Tf).
+    feats: (vel, scene, social) tuple from scf.fuse_context — each
+    (B, A, K, Tf, ·) or None; fut_mask: (B, A, Tf).
     Returns scores (B, A, K), deltas (B, A, K, Tf, 2), hidden (B,A,K,Tf,d).
+
+    The GRU input-gate projection is precomputed time-parallel and
+    distributed over the feature blocks (gi = vel@Wi_v + scene@Wi_s +
+    social@Wi_so + bi) — one fused-tensor materialization and Tf small
+    per-step matmuls avoided (SURVEY hot-loop discipline).
     """
-    b, a, k, tf, f = fused.shape
-    xs = fused.reshape(b * a * k, tf, f)
-    xs = jnp.swapaxes(xs, 0, 1)                          # (Tf, M, F)
-    h0 = jnp.zeros((1, b * a * k, p["gru"][0]["wh"].shape[0]), fused.dtype)
-    _, hs = L.gru_stack_scan(p["gru"], h0, xs)           # (Tf, M, d)
+    vel, scene, social = feats
+    b, a, k, tf, _ = vel.shape
+    gp = p["gru"][0]
+    if social is None:
+        social = jnp.zeros(vel.shape[:-1] + (gp["wi"].shape[0] - 2 -
+                                             scene_channels,), vel.dtype)
+    fused = jnp.concatenate([vel, scene, social], axis=-1)
+    xs = jnp.moveaxis(fused.reshape(b * a * k, tf, -1), 1, 0)  # (Tf, M, F)
+    h0 = jnp.zeros((b * a * k, gp["wh"].shape[0]), vel.dtype)
+    _, hs = L.gru_scan(gp, h0, xs)                             # (Tf, M, d)
     hs = jnp.swapaxes(hs, 0, 1).reshape(b, a, k, tf, -1)
-    psi = L.dense(p["score"], hs)[..., 0]                # (B, A, K, Tf)
+    psi = L.dense(p["score"], hs)[..., 0]                   # (B, A, K, Tf)
     m = fut_mask[:, :, None, :]
-    scores = jnp.sum(psi * m, axis=-1)                   # (B, A, K)
+    scores = jnp.sum(psi * m, axis=-1)                      # (B, A, K)
     deltas = jnp.tanh(L.dense(p["delta"], hs)) * _DELTA_SCALE
     deltas = deltas * m[..., None]
     return scores, deltas, hs
@@ -84,8 +95,9 @@ def ioc_forward(p_ioc, p_scf, cfg: DesireConfig, traj, dec_h, feat_map,
     # social messages depend only on dec_h -> project once, reuse per iter
     msg = scf.social_messages(p_scf, dec_h) if cfg.use_social else dec_h
     for _ in range(max(iters, 1)):
-        fused = scf.fuse_context(p_scf, cfg, traj, msg, feat_map, live)
-        scores, deltas, _ = score_and_delta(p_ioc, fused, fut_mask)
+        feats = scf.fuse_context(p_scf, cfg, traj, msg, feat_map, live)
+        scores, deltas, _ = score_and_delta(p_ioc, feats, fut_mask,
+                                            cfg.scene_channels)
         traj = traj + deltas
         per_iter.append(traj)
     return traj, scores, per_iter

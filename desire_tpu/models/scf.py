@@ -134,10 +134,13 @@ def social_pool(p, traj, msg, live):
 
 
 def fuse_context(p, cfg: DesireConfig, traj, msg, feat_map, live):
-    """The SCF vector per (agent, lane, step): [velocity, scene, social].
+    """The SCF vectors per (agent, lane, step): (velocity, scene, social).
 
-    traj (B,A,K,Tf,2), msg = social_messages(dec_h) ->
-    fused (B,A,K,Tf, 2 + scene_channels + d_dim)."""
+    traj (B,A,K,Tf,2), msg = social_messages(dec_h) -> a TUPLE of
+    (B,A,K,Tf,2), (B,A,K,Tf,scene_channels), (B,A,K,Tf,d_dim) — deliberately
+    NOT concatenated: the only consumer (the IOC score GRU) projects them
+    through its input-gate matrix, and that projection distributes over the
+    blocks — three matmuls beat materializing a (B·A·K·Tf, 82) tensor."""
     vel = jnp.diff(traj, axis=-2, prepend=traj[..., :1, :])
     b, a, k, tf, _ = traj.shape
     if ops.use_pallas(cfg):
@@ -146,6 +149,5 @@ def fuse_context(p, cfg: DesireConfig, traj, msg, feat_map, live):
     else:
         scene = bilinear_pool(feat_map, traj.reshape(b, a * k * tf, 2))
     scene = scene.reshape(b, a, k, tf, -1)
-    social = social_pool(p, traj, msg, live) if cfg.use_social else \
-        jnp.zeros(traj.shape[:-1] + (cfg.d_dim,), traj.dtype)
-    return jnp.concatenate([vel, scene, social], axis=-1)
+    social = social_pool(p, traj, msg, live) if cfg.use_social else None
+    return vel, scene, social

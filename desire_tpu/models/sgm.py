@@ -182,14 +182,18 @@ def decode_hypotheses(p, cfg: DesireConfig, h_seed, h_init, pred_len):
     return jnp.swapaxes(raw, 0, 1), jnp.swapaxes(hs, 0, 1)
 
 
-def compose_positions(raw, origin):
+def compose_positions(raw, origin, vel_scale=0.25):
     """Velocity -> absolute position Gaussians.
 
     raw: (..., Tf, 5) per-step [vx, vy, log_sx, log_sy, rho_raw];
-    origin: (..., 2) last observed position. Returns raw5 with absolute means
-    in channels 0:2 (downstream NLL consumes it directly).
+    origin: (..., 2) last observed position. Velocities are tanh-bounded to
+    +-vel_scale scene units per step — a physical prior that keeps hypotheses
+    in-scene even when z is an out-of-distribution prior draw at test time
+    (unbounded cumsum was measured to fling eval trajectories outside the
+    scene whenever posterior and prior disagreed). Returns raw5 with absolute
+    means in channels 0:2 (downstream NLL consumes it directly).
     """
-    vel = raw[..., 0:2]
+    vel = jnp.tanh(raw[..., 0:2]) * vel_scale
     mu = origin[..., None, :] + jnp.cumsum(vel, axis=-2)
     return jnp.concatenate([mu, raw[..., 2:]], axis=-1)
 
@@ -238,7 +242,7 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     raw, dec_h = decode_hypotheses(p, cfg, h_seed, h_init, pred_len)
     raw = shard_hint(raw.reshape(n, K, pred_len, 5), "data", "k")
     dec_h = shard_hint(dec_h.reshape(n, K, pred_len, -1), "data", "k")
-    raw5 = compose_positions(raw, origin[:, None, :])     # abs-position params
+    raw5 = compose_positions(raw, origin[:, None, :], cfg.vel_scale)
 
     return {
         "raw5": raw5,                 # (N, K, Tf, 5) absolute-position gaussians

@@ -95,7 +95,7 @@ def run_epoch(state: TrainState, loader, epoch: int, step_fn,
             m = {k: float(v) for k, v in metrics.items()}
             m.update(epoch=epoch, batch=bi, step=int(state.step),
                      sec_per_batch=(time.time() - t0) / max(bi - start_batch + 1, 1))
-            log_fn(m)
+            log_fn(m, state)   # current state, for mid-epoch checkpointing
         losses_acc.append(metrics["loss"])
     mean_loss = float(np.mean([float(x) for x in losses_acc])) if losses_acc else float("nan")
     return state, mean_loss

@@ -40,17 +40,22 @@ def main(argv=None):
                         help="cap batches per epoch (0 = all; for smoke runs)")
     parser.add_argument("--platform", type=str, default="",
                         help="force a jax platform (e.g. cpu)")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="capture a jax.profiler trace of epoch 0 into "
+                             "this dir (view in Perfetto/TensorBoard)")
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     cfg = config_from_args(args)
     train(cfg, resume=bool(args.resume), eval_every=args.eval_every,
           max_eval_batches=args.max_eval_batches,
-          max_train_batches=args.max_train_batches or None)
+          max_train_batches=args.max_train_batches or None,
+          profile_dir=args.profile_dir or None)
 
 
 def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
-          max_eval_batches: int = 16, max_train_batches: int | None = None):
+          max_eval_batches: int = 16, max_train_batches: int | None = None,
+          profile_dir: str | None = None):
     log = MetricLogger(os.path.join(cfg.save_dir, "metrics.jsonl")
                        if cfg.save_dir else None)
     loader = SDDLoader(cfg)
@@ -80,10 +85,19 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
 
     save_interval = max(cfg.save_every // max(cfg.batch_size, 1), 1)
     for epoch in range(start_epoch, cfg.num_epochs):
-        def log_fn(m, _epoch=epoch):
+        def log_fn(m, cur_state, _epoch=epoch):
             log.log(dict(m, event="train"))
             if mgr is not None and m["batch"] % save_interval == 0 and m["batch"] > 0:
-                mgr.save(state, loader.state, cfg)
+                mgr.save(cur_state, loader.state, cfg)
+        if profile_dir and epoch == start_epoch:
+            # trace a short slice of the first epoch (SURVEY §5 tracing row)
+            import jax.profiler
+            with jax.profiler.trace(profile_dir):
+                state, _ = trainer.run_epoch(
+                    state, loader, epoch, step_fn, log_fn=log_fn,
+                    start_batch=start_batch, mesh=mesh,
+                    max_batches=min(max_train_batches or 4, 4))
+            log.log({"event": "profile", "dir": profile_dir})
         state, mean_loss = trainer.run_epoch(
             state, loader, epoch, step_fn, log_fn=log_fn,
             start_batch=start_batch if epoch == start_epoch else 0, mesh=mesh,
