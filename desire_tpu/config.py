@@ -51,6 +51,9 @@ class DesireConfig:
     normalize: bool = True       # per-scene [0,1] coordinate normalization
     window_hop: int = 2          # sampled-step stride between training windows
     scenes: str = ""             # comma-separated scene filter ('' = all)
+    eval_scenes: str = ""        # held-out scenes for eval ('' = eval on
+    #                              the training stream); generalizes the
+    #                              reference's leave_dataset holdout intent
 
     # ---- DESIRE modules missing from the reference (north star) ----
     use_ioc: bool = True         # IOC ranking & refinement module

@@ -46,11 +46,22 @@ def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
 
 
 def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
-             key=None, max_batches=None, epoch: int = 0) -> dict:
-    """minADE/minFDE (pixels) over a loader's epoch stream."""
+             key=None, max_batches=None, epoch: int = 0,
+             per_scene: bool = False) -> dict:
+    """minADE/minFDE (pixels) over a loader's epoch stream.
+
+    per_scene=True adds a per-scene breakdown keyed by scene name."""
     sampler = make_sampler(cfg, k_samples=k_samples)
     key = key if key is not None else jax.random.PRNGKey(cfg.seed + 1)
-    ades, fdes, best_ades, weights = [], [], [], []
+    acc: dict = {}
+
+    def add(tag, a, f, b_ade, n):
+        d = acc.setdefault(tag, [0.0, 0.0, 0.0, 0.0])
+        d[0] += a * n
+        d[1] += f * n
+        d[2] += b_ade * n
+        d[3] += n
+
     for bi, batch in enumerate(loader.epoch_batches(epoch)):
         if max_batches is not None and bi >= max_batches:
             break
@@ -58,28 +69,37 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
         key, sub = jax.random.split(key)
         out = sampler(params, xy, mask, ids, sub)
         scale = jnp.asarray(batch.scale)
-        a, f = M.min_ade_fde(out["traj"].astype(jnp.float32),
-                             out["fut_xy"].astype(jnp.float32),
-                             out["fut_mask"].astype(jnp.float32),
-                             out["live"].astype(jnp.float32), scale=scale)
-        # top-1 (ranked) ADE: the IOC's pick, not the oracle best-of-K
-        b_ade, _ = M.min_ade_fde(out["best"][:, :, None].astype(jnp.float32),
-                                 out["fut_xy"].astype(jnp.float32),
-                                 out["fut_mask"].astype(jnp.float32),
-                                 out["live"].astype(jnp.float32), scale=scale)
-        n_live = float(jnp.sum(out["live"]))
-        ades.append(float(a) * n_live)
-        fdes.append(float(f) * n_live)
-        best_ades.append(float(b_ade) * n_live)
-        weights.append(n_live)
-    w = max(sum(weights), 1e-8)
-    return {
-        "minADE_px": sum(ades) / w,
-        "minFDE_px": sum(fdes) / w,
-        "top1ADE_px": sum(best_ades) / w,
-        "num_agents": sum(weights),
-        "K": k_samples or cfg.num_samples,
-    }
+        args = (out["fut_xy"].astype(jnp.float32),
+                out["fut_mask"].astype(jnp.float32))
+        live = out["live"].astype(jnp.float32)
+        traj = out["traj"].astype(jnp.float32)
+        best = out["best"][:, :, None].astype(jnp.float32)
+        if per_scene:
+            import numpy as np
+            for vid in np.unique(batch.video):
+                sel = jnp.asarray(batch.video == vid, jnp.float32)
+                live_v = live * sel[:, None]
+                a, f = M.min_ade_fde(traj, *args, live_v, scale=scale)
+                b_ade, _ = M.min_ade_fde(best, *args, live_v, scale=scale)
+                scene = loader.videos[int(vid)].name.split("/")[0]
+                add(scene, float(a), float(f), float(b_ade),
+                    float(jnp.sum(live_v)))
+        a, f = M.min_ade_fde(traj, *args, live, scale=scale)
+        b_ade, _ = M.min_ade_fde(best, *args, live, scale=scale)
+        add("__all__", float(a), float(f), float(b_ade),
+            float(jnp.sum(live)))
+
+    def summarize(d):
+        w = max(d[3], 1e-8)
+        return {"minADE_px": d[0] / w, "minFDE_px": d[1] / w,
+                "top1ADE_px": d[2] / w, "num_agents": d[3]}
+
+    result = dict(summarize(acc.get("__all__", [0.0] * 4)),
+                  K=k_samples or cfg.num_samples)
+    if per_scene:
+        result["per_scene"] = {k: summarize(v) for k, v in acc.items()
+                               if k != "__all__"}
+    return result
 
 
 def make_rollout(cfg: DesireConfig, k_samples=None, stochastic=False):

@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from desire_tpu import ops
 from desire_tpu.config import DesireConfig
 from desire_tpu.models import ioc as ioc_mod
 from desire_tpu.models import layers as L
@@ -115,12 +116,20 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
     fut_xy, fut_mask, live = out["fut_xy"], out["fut_mask"], out["live"]
     f32 = jnp.float32
 
-    # (B, A, K, Tf) NLL of ground truth under each lane's gaussians
+    # (B, A, K) step-summed NLL of ground truth under each lane's gaussians
     raw5 = out["raw5"].astype(f32)
-    nll_steps = losses.bivariate_nll(
-        raw5, fut_xy[:, :, None].astype(f32),
-        step_mask=fut_mask[:, :, None].astype(f32))
-    nll_per_lane = jnp.sum(nll_steps, axis=-1)            # sum over steps (C14)
+    b, a, K, tf_len, _ = raw5.shape
+    if ops.use_pallas(cfg):
+        from desire_tpu.ops.nll import bivariate_nll_pallas
+        nll_per_lane = bivariate_nll_pallas(
+            raw5.reshape(b * a, K, tf_len, 5),
+            fut_xy.reshape(b * a, tf_len, 2).astype(f32),
+            fut_mask.reshape(b * a, tf_len).astype(f32)).reshape(b, a, K)
+    else:
+        nll_steps = losses.bivariate_nll(
+            raw5, fut_xy[:, :, None].astype(f32),
+            step_mask=fut_mask[:, :, None].astype(f32))
+        nll_per_lane = jnp.sum(nll_steps, axis=-1)        # sum over steps (C14)
     if cfg.recon_agg == "min":
         nll_agg = jnp.min(nll_per_lane, axis=-1)
     else:

@@ -79,23 +79,43 @@ def batch_to_device(batch, sharding=None):
     return xy, mask, ids
 
 
+class NonFiniteLossError(RuntimeError):
+    """Raised when training produces non-finite losses repeatedly (failure
+    detection, SURVEY §5: fail fast and loud instead of silently writing
+    NaN checkpoints; recovery = resume from the last good checkpoint)."""
+
+
 def run_epoch(state: TrainState, loader, epoch: int, step_fn,
               log_fn=None, log_every: int = 20, start_batch: int = 0,
-              mesh=None, max_batches: int | None = None):
+              mesh=None, max_batches: int | None = None,
+              max_bad_steps: int = 3):
     """Drive one epoch; returns (state, mean_loss)."""
     sharding = mesh_mod.batch_sharding(mesh) if mesh is not None else None
     losses_acc, t0 = [], time.time()
+    bad = 0
     for bi, batch in enumerate(loader.epoch_batches(epoch, start_batch),
                                start=start_batch):
         if max_batches is not None and bi - start_batch >= max_batches:
             break
         xy, mask, ids = batch_to_device(batch, sharding)
         state, metrics = step_fn(state, xy, mask, ids)
-        if log_fn is not None and (bi % log_every == 0):
+        if bi % log_every == 0:
+            # finiteness check rides the logging cadence — a per-step
+            # float() would force a device sync and break async dispatch
             m = {k: float(v) for k, v in metrics.items()}
-            m.update(epoch=epoch, batch=bi, step=int(state.step),
-                     sec_per_batch=(time.time() - t0) / max(bi - start_batch + 1, 1))
-            log_fn(m, state)   # current state, for mid-epoch checkpointing
+            if not np.isfinite(m["loss"]):
+                bad += 1
+                if bad >= max_bad_steps:
+                    raise NonFiniteLossError(
+                        f"{bad} consecutive non-finite losses at epoch "
+                        f"{epoch} batch {bi}; resume from the last good "
+                        f"checkpoint")
+            else:
+                bad = 0
+            if log_fn is not None:
+                m.update(epoch=epoch, batch=bi, step=int(state.step),
+                         sec_per_batch=(time.time() - t0) / max(bi - start_batch + 1, 1))
+                log_fn(m, state)  # current state, for mid-epoch checkpointing
         losses_acc.append(metrics["loss"])
     mean_loss = float(np.mean([float(x) for x in losses_acc])) if losses_acc else float("nan")
     return state, mean_loss

@@ -29,6 +29,8 @@ def main(argv=None):
                         help="0 = full epoch")
     parser.add_argument("--random_params", type=int, default=0,
                         help="skip checkpoint loading (smoke test)")
+    parser.add_argument("--per_scene", type=int, default=0,
+                        help="add a per-scene metric breakdown")
     parser.add_argument("--platform", type=str, default="")
     args = parser.parse_args(argv)
     if args.platform:
@@ -55,7 +57,8 @@ def main(argv=None):
         params = got[0].params
 
     result = evaluate(params, cfg, loader,
-                      max_batches=args.max_eval_batches or None)
+                      max_batches=args.max_eval_batches or None,
+                      per_scene=bool(args.per_scene))
     print(json.dumps(result, sort_keys=True))
     return result
 

@@ -126,3 +126,59 @@ def test_gru_kernel_gradients_match_scan():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gk[2]), np.asarray(gx[2]),
                                rtol=1e-4, atol=1e-5)
+
+
+# -- fused NLL ----------------------------------------------------------------
+
+def test_nll_kernel_matches_reference():
+    from desire_tpu.models import losses
+    from desire_tpu.ops.nll import bivariate_nll_pallas
+    n, k, t = 300, 3, 5   # n not a tile multiple
+    raw5 = jax.random.normal(jax.random.PRNGKey(0), (n, k, t, 5))
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (n, t, 2))
+    mask = (jax.random.uniform(jax.random.PRNGKey(2), (n, t)) > 0.3
+            ).astype(jnp.float32)
+    got = bivariate_nll_pallas(raw5, tgt, mask, True)      # interpret
+    want = jnp.sum(losses.bivariate_nll(
+        raw5, tgt[:, None], step_mask=mask[:, None]), axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_nll_kernel_floor_active():
+    from desire_tpu.ops.nll import bivariate_nll_pallas
+    # far-out target: every step floored at -log(1e-20)
+    raw5 = jnp.zeros((4, 2, 3, 5)).at[..., 2:4].set(-2.0)
+    tgt = jnp.full((4, 3, 2), 1e3)
+    mask = jnp.ones((4, 3))
+    got = bivariate_nll_pallas(raw5, tgt, mask, True)
+    np.testing.assert_allclose(np.asarray(got), 3 * -np.log(1e-20), rtol=1e-6)
+    # floored rows must get zero gradient
+    g = jax.grad(lambda r: jnp.sum(bivariate_nll_pallas(r, tgt, mask, True)))(
+        raw5)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+
+def test_nll_kernel_gradients_match_reference():
+    from desire_tpu.models import losses
+    from desire_tpu.ops.nll import bivariate_nll_pallas
+    n, k, t = 64, 4, 6
+    raw5 = jax.random.normal(jax.random.PRNGKey(0), (n, k, t, 5)) * 0.5
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (n, t, 2)) * 0.5
+    mask = (jax.random.uniform(jax.random.PRNGKey(2), (n, t)) > 0.3
+            ).astype(jnp.float32)
+    # weighted sum so every lane gets a distinct cotangent
+    wts = jax.random.normal(jax.random.PRNGKey(3), (n, k))
+
+    def lk(r):
+        return jnp.sum(bivariate_nll_pallas(r, tgt, mask, True) * wts)
+
+    def lx(r):
+        lane = jnp.sum(losses.bivariate_nll(
+            r, tgt[:, None], step_mask=mask[:, None]), axis=-1)
+        return jnp.sum(lane * wts)
+
+    gk = jax.grad(lk)(raw5)
+    gx = jax.grad(lx)(raw5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                               rtol=1e-4, atol=1e-4)

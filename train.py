@@ -16,6 +16,7 @@ import os
 import sys
 
 import jax
+import jax.profiler  # noqa: F401  (train --profile_dir)
 
 from desire_tpu.config import DesireConfig, add_config_flags, config_from_args
 from desire_tpu.data.loader import SDDLoader
@@ -61,6 +62,11 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
     loader = SDDLoader(cfg)
     log.log({"event": "data", "videos": len(loader.videos),
              "windows": loader.num_windows, "batches": loader.num_batches})
+    eval_loader = loader
+    if cfg.eval_scenes:
+        eval_loader = SDDLoader(cfg.replace(scenes=cfg.eval_scenes))
+        log.log({"event": "eval_data", "videos": len(eval_loader.videos),
+                 "windows": eval_loader.num_windows})
 
     mesh = None
     if cfg.mesh_data * cfg.mesh_k > 1:
@@ -91,7 +97,6 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
                 mgr.save(cur_state, loader.state, cfg)
         if profile_dir and epoch == start_epoch:
             # trace a short slice of the first epoch (SURVEY §5 tracing row)
-            import jax.profiler
             with jax.profiler.trace(profile_dir):
                 state, _ = trainer.run_epoch(
                     state, loader, epoch, step_fn, log_fn=log_fn,
@@ -106,9 +111,10 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
         if mgr is not None:
             mgr.save(state, loader.state, cfg)
         if eval_every and (epoch + 1) % eval_every == 0:
-            ev = evaluate(state.params, cfg, loader,
+            ev = evaluate(state.params, cfg, eval_loader,
                           max_batches=max_eval_batches)
-            log.log(dict(ev, event="eval", epoch=epoch))
+            log.log(dict(ev, event="eval", epoch=epoch,
+                         held_out=bool(cfg.eval_scenes)))
     if mgr is not None:
         mgr.wait()
     return state
