@@ -40,7 +40,10 @@ def init_ioc(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
     return {
         "gru": L.init_gru_stack(ks[0], feat_dim, cfg.d_dim, 1, dtype),
         "score": L.init_dense(ks[1], cfg.d_dim, 1, dtype),
-        "delta": L.init_dense(ks[2], cfg.d_dim, 2, dtype),
+        # zero-init: refinement starts as the identity (no drift away from
+        # the SGM hypotheses before the regression loss shapes the deltas)
+        "delta": {"w": jnp.zeros((cfg.d_dim, 2), dtype),
+                  "b": jnp.zeros((2,), dtype)},
     }
 
 

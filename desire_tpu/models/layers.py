@@ -40,9 +40,9 @@ def glorot(key, shape, dtype=jnp.float32):
 
 # -- dense ------------------------------------------------------------------
 
-def init_dense(key, in_dim, out_dim, dtype=jnp.float32) -> Params:
+def init_dense(key, in_dim, out_dim, dtype=jnp.float32, scale=1.0) -> Params:
     kw, _ = jax.random.split(key)
-    return {"w": glorot(kw, (in_dim, out_dim), dtype),
+    return {"w": glorot(kw, (in_dim, out_dim), dtype) * scale,
             "b": jnp.zeros((out_dim,), dtype)}
 
 

@@ -90,9 +90,14 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
         # z projection.
         "z_gate": L.init_dense(jax.random.fold_in(key, 98), lat, d, dtype),
         "z_skip": L.init_dense(jax.random.fold_in(key, 97), lat, d, dtype),
-        # K-lane GRU decoder + bivariate head
+        # K-lane GRU decoder + bivariate head. The head starts NEAR zero
+        # (glorot x 0.05): its velocity channels are residuals around the
+        # constant-velocity extrapolation (compose_positions), so an
+        # untrained model predicts ~the CV baseline (full glorot drifted
+        # ~1500px, measured; exact zero stalls K-lane symmetry breaking).
         "dec": L.init_gru_stack(ks[15], d, d, cfg.num_layers, dtype),
-        "head": L.init_dense(jax.random.fold_in(key, 99), d, 5, dtype),
+        "head": L.init_dense(jax.random.fold_in(key, 99), d, 5, dtype,
+                             scale=0.05),
     }
     return p
 
@@ -182,20 +187,39 @@ def decode_hypotheses(p, cfg: DesireConfig, h_seed, h_init, pred_len):
     return jnp.swapaxes(raw, 0, 1), jnp.swapaxes(hs, 0, 1)
 
 
-def compose_positions(raw, origin, vel_scale=0.25):
-    """Velocity -> absolute position Gaussians.
+def compose_positions(raw, origin, vel_scale=0.25, cv_vel=None):
+    """Velocity-residuals-around-constant-velocity -> absolute position
+    Gaussians.
 
-    raw: (..., Tf, 5) per-step [vx, vy, log_sx, log_sy, rho_raw];
-    origin: (..., 2) last observed position. Velocities are tanh-bounded to
-    +-vel_scale scene units per step — a physical prior that keeps hypotheses
-    in-scene even when z is an out-of-distribution prior draw at test time
-    (unbounded cumsum was measured to fling eval trajectories outside the
-    scene whenever posterior and prior disagreed). Returns raw5 with absolute
-    means in channels 0:2 (downstream NLL consumes it directly).
+    raw: (..., Tf, 5) per-step [dvx, dvy, log_sx, log_sy, rho_raw];
+    origin: (..., 2) last observed position; cv_vel: (..., 2) mean observed
+    velocity. The mean trajectory is the constant-velocity extrapolation
+    plus a cumulative sum of tanh-bounded learned corrections:
+
+        mu_t = origin + cv_vel * t + cumsum(tanh(dv) * vel_scale)
+
+    Rationale (measured): a constant-velocity baseline scores ADE 33 px on
+    SDD @4.8 s — predicting raw velocities forces the network to *relearn*
+    linear extrapolation before it can beat that; predicting CV-residuals
+    starts the model AT the baseline. The tanh bound doubles as the physical
+    prior that keeps out-of-distribution prior-z draws in-scene. Returns raw5
+    with absolute means in channels 0:2.
     """
     vel = jnp.tanh(raw[..., 0:2]) * vel_scale
     mu = origin[..., None, :] + jnp.cumsum(vel, axis=-2)
+    if cv_vel is not None:
+        t = jnp.arange(1, raw.shape[-2] + 1, dtype=mu.dtype)
+        mu = mu + cv_vel[..., None, :] * t[:, None]
     return jnp.concatenate([mu, raw[..., 2:]], axis=-1)
+
+
+def mean_observed_velocity(rel_obs, obs_mask):
+    """Masked mean per-step velocity over the observed window.
+    rel_obs (N, To, 2), obs_mask (N, To) -> (N, 2)."""
+    both = obs_mask[:, 1:] * obs_mask[:, :-1]
+    d = jnp.diff(rel_obs, axis=1) * both[..., None]
+    steps = jnp.maximum(jnp.sum(both, axis=1), 1e-6)
+    return jnp.sum(d, axis=1) / steps[..., None]
 
 
 def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
@@ -242,7 +266,9 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     raw, dec_h = decode_hypotheses(p, cfg, h_seed, h_init, pred_len)
     raw = shard_hint(raw.reshape(n, K, pred_len, 5), "data", "k")
     dec_h = shard_hint(dec_h.reshape(n, K, pred_len, -1), "data", "k")
-    raw5 = compose_positions(raw, origin[:, None, :], cfg.vel_scale)
+    cv_vel = mean_observed_velocity(rel_obs, obs_mask)    # (N, 2)
+    raw5 = compose_positions(raw, origin[:, None, :], cfg.vel_scale,
+                             cv_vel=cv_vel[:, None, :])
 
     return {
         "raw5": raw5,                 # (N, K, Tf, 5) absolute-position gaussians
