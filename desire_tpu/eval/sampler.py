@@ -75,7 +75,6 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
         traj = out["traj"].astype(jnp.float32)
         best = out["best"][:, :, None].astype(jnp.float32)
         if per_scene:
-            import numpy as np
             for vid in np.unique(batch.video):
                 sel = jnp.asarray(batch.video == vid, jnp.float32)
                 live_v = live * sel[:, None]

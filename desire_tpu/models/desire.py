@@ -157,7 +157,7 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
         for t in out["per_iter_trajs"]:
             reg = reg + losses.refine_regression_loss(
                 t.astype(f32), fut_xy.astype(f32), live_t,
-                step_mask=fut_mask.astype(f32))
+                step_mask=fut_mask.astype(f32), agg=cfg.recon_agg)
         reg = reg / max(len(out["per_iter_trajs"]), 1)
         total = total + cfg.w_ce * ce + cfg.w_reg * reg
         metrics.update(ioc_ce=ce, refine_reg=reg)

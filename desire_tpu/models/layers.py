@@ -67,7 +67,6 @@ def init_gru(key, in_dim, hidden, dtype=jnp.float32) -> Params:
 
 def gru_step(p: Params, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """One GRU step. h: (..., H), x: (..., in). Returns h'."""
-    hidden = h.shape[-1]
     gi = jnp.dot(x, p["wi"].astype(x.dtype),
                  preferred_element_type=x.dtype) + p["bi"].astype(x.dtype)
     gh = jnp.dot(h, p["wh"].astype(h.dtype),
@@ -77,7 +76,6 @@ def gru_step(p: Params, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     r = jax.nn.sigmoid(i_r + h_r)
     z = jax.nn.sigmoid(i_z + h_z)
     n = jnp.tanh(i_n + r * h_n)
-    del hidden
     return (1.0 - z) * n + z * h
 
 

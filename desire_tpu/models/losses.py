@@ -146,6 +146,11 @@ def ioc_cross_entropy(scores, hyp_xy, gt_xy, agent_mask, step_mask=None,
     mean displacement error of hypothesis k; loss = CE(q, softmax(scores)),
     masked-mean over agents.
     """
+    # The distance-derived target q is a TARGET: stop_gradient, or the CE
+    # backprops into the trajectories and moves them to make the distances
+    # match the (initially uniform) scores — measured to drag refined
+    # hypotheses ~100px AWAY from ground truth. Only the scores side learns.
+    hyp_xy = jax.lax.stop_gradient(hyp_xy)
     diff = hyp_xy - gt_xy[..., None, :, :]
     # eps-guarded norm: plain L2 has a NaN gradient at exactly-zero distance,
     # which dead (masked) agents hit (hypothesis == GT == origin).
@@ -161,11 +166,14 @@ def ioc_cross_entropy(scores, hyp_xy, gt_xy, agent_mask, step_mask=None,
     return masked_mean(ce, agent_mask)
 
 
-def refine_regression_loss(refined_xy, gt_xy, agent_mask, step_mask=None):
-    """L2 regression on refined trajectories (best effort over K lanes):
-    mean over K of per-step squared error, masked-mean over agents.
+def refine_regression_loss(refined_xy, gt_xy, agent_mask, step_mask=None,
+                           agg="min"):
+    """L2 regression on refined trajectories.
 
-    refined_xy: (..., K, T, 2); gt_xy: (..., T, 2).
+    refined_xy: (..., K, T, 2); gt_xy: (..., T, 2). agg over the K lanes:
+    'min' (default) trains only the closest refined hypothesis toward GT —
+    refinement sharpens the best mode without collapsing the others onto the
+    conditional mean; 'mean' is the paper's regress-every-sample term.
     """
     err = jnp.sum(jnp.square(refined_xy - gt_xy[..., None, :, :]), axis=-1)
     if step_mask is not None:
@@ -173,7 +181,10 @@ def refine_regression_loss(refined_xy, gt_xy, agent_mask, step_mask=None):
         err = jnp.sum(err * sm, axis=-1) / jnp.maximum(jnp.sum(sm, axis=-1), 1e-8)
     else:
         err = jnp.mean(err, axis=-1)
-    err = jnp.mean(err, axis=-1)  # over K
+    if agg == "min":
+        err = jnp.min(err, axis=-1)
+    else:
+        err = jnp.mean(err, axis=-1)
     return masked_mean(err, agent_mask)
 
 

@@ -50,12 +50,10 @@ def rasterize_occupancy(obs_xy, obs_mask, grid):
     ij = jnp.clip((obs_xy * grid).astype(jnp.int32), 0, grid - 1)
     cell = ij[..., 1] * grid + ij[..., 0]                 # (B, To, A)
     flat = jnp.zeros((b, grid * grid, 2), obs_xy.dtype)
-    w_all = obs_mask[..., None] * jnp.ones((1, 1, 1), obs_xy.dtype)
     last = jnp.zeros_like(obs_mask).at[:, -1].set(obs_mask[:, -1])
     w = jnp.stack([obs_mask, last], -1)                   # (B, To, A, 2)
     bidx = jnp.arange(b)[:, None, None]
     flat = flat.at[bidx, cell].add(w)
-    del w_all
     return (flat / t).reshape(b, grid, grid, 2)
 
 

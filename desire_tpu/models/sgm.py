@@ -90,6 +90,12 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
         # z projection.
         "z_gate": L.init_dense(jax.random.fold_in(key, 98), lat, d, dtype),
         "z_skip": L.init_dense(jax.random.fold_in(key, 97), lat, d, dtype),
+        # temporal-conv feature projection into the decoder seed: the
+        # reference multiplied decoder outputs into halves of rho as its
+        # "feature pooling" stand-in (model/model.py:291-311, an unfinished
+        # design per SURVEY §7.4); here rho conditions the decoder directly
+        "rho_proj": L.init_dense(jax.random.fold_in(key, 96), 2 * cm, d,
+                                 dtype),
         # K-lane GRU decoder + bivariate head. The head starts NEAR zero
         # (glorot x 0.05): its velocity channels are residuals around the
         # constant-velocity extrapolation (compose_positions), so an
@@ -259,8 +265,12 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     z_flat = z.reshape(n * K, lat)
     beta, recon = vae_decode_mask(p, z_flat, side)
     # additive z projection keeps a first-class linear path from the latent
-    # into the decoder (see init_sgm z_skip comment)
-    h_seed = beta * jnp.repeat(hx, K, axis=0) + L.dense(p["z_skip"], z_flat)
+    # into the decoder (see init_sgm z_skip comment); rho conditions the
+    # seed with the temporal-conv trajectory features (C3 made live)
+    rho_seed = jax.nn.relu(L.dense(p["rho_proj"], rho))        # (N, d)
+    h_seed = (beta * jnp.repeat(hx, K, axis=0)
+              + L.dense(p["z_skip"], z_flat)
+              + jnp.repeat(rho_seed, K, axis=0))
     h_init = jnp.repeat(hx_all, K, axis=1)                # (L, N*K, d)
 
     raw, dec_h = decode_hypotheses(p, cfg, h_seed, h_init, pred_len)

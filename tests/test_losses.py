@@ -132,3 +132,35 @@ def test_losses_jit_and_grad():
     raw = jnp.zeros((4, 5))
     g = jax.jit(jax.grad(loss_fn))(raw)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ioc_ce_gradient_does_not_move_trajectories():
+    """The CE's distance-derived target is a target: no gradient may flow
+    into the hypothesis trajectories through it (a missing stop_gradient
+    was measured to drag refined hypotheses ~100px away from GT)."""
+    K, T = 3, 4
+    rng = np.random.RandomState(0)
+    gt = jnp.array(rng.randn(T, 2).astype(np.float32))
+    hyps = jnp.array(rng.randn(K, T, 2).astype(np.float32))
+    scores = jnp.array(rng.randn(K).astype(np.float32))
+
+    g_hyp = jax.grad(lambda h: losses.ioc_cross_entropy(
+        scores, h, gt, jnp.array(1.0)))(hyps)
+    np.testing.assert_allclose(np.asarray(g_hyp), 0.0, atol=1e-8)
+    # ... while the scores side does learn
+    g_sc = jax.grad(lambda s: losses.ioc_cross_entropy(
+        s, hyps, gt, jnp.array(1.0)))(scores)
+    assert float(jnp.abs(g_sc).max()) > 0
+
+
+def test_refine_regression_min_agg():
+    T, K = 4, 3
+    gt = jnp.zeros((T, 2))
+    refined = jnp.stack([jnp.zeros((T, 2)),            # perfect lane
+                         jnp.ones((T, 2)) * 5.0,       # far lanes
+                         jnp.ones((T, 2)) * -3.0])
+    # min agg: only the perfect lane counts -> zero loss
+    assert float(losses.refine_regression_loss(
+        refined, gt, jnp.array(1.0), agg="min")) == 0.0
+    assert float(losses.refine_regression_loss(
+        refined, gt, jnp.array(1.0), agg="mean")) > 0
