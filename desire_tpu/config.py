@@ -68,6 +68,11 @@ class DesireConfig:
     w_kld: float = 1.0           # CVAE KL divergence
     w_ce: float = 1.0            # IOC ranking cross-entropy
     w_reg: float = 1.0           # refinement regression
+    w_delta: float = 0.1         # trust-region penalty on refinement deltas
+    #                              (|refined - sgm|^2): with min-agg
+    #                              regression only the winning lane gets a
+    #                              direct pull, this keeps the other lanes'
+    #                              deltas from drifting off their hypotheses
     kld_warmup: int = 200        # steps of linear KLD annealing (0 = off)
     vel_scale: float = 0.25      # per-step displacement bound (scene units):
     #                              decoder velocities are tanh-squashed to

@@ -40,6 +40,7 @@ def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
             scores = jnp.zeros(traj.shape[:3], traj.dtype)
         best = M.best_of_k_by_score(traj, scores)
         return {"traj": traj, "scores": scores, "best": best,
+                "sgm_traj": out["sgm_traj"],
                 "fut_mask": out["fut_mask"], "live": out["live"],
                 "fut_xy": out["fut_xy"]}
     return jax.jit(fn)
@@ -87,6 +88,11 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
         b_ade, _ = M.min_ade_fde(best, *args, live, scale=scale)
         add("__all__", float(a), float(f), float(b_ade),
             float(jnp.sum(live)))
+        # SGM (pre-refinement) oracle — shows the IOC stage's value-add
+        sa, sf = M.min_ade_fde(out["sgm_traj"].astype(jnp.float32), *args,
+                               live, scale=scale)
+        add("__sgm__", float(sa), float(sf), float(sa),
+            float(jnp.sum(live)))
 
     def summarize(d):
         w = max(d[3], 1e-8)
@@ -95,9 +101,12 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
 
     result = dict(summarize(acc.get("__all__", [0.0] * 4)),
                   K=k_samples or cfg.num_samples)
+    sgm = summarize(acc.get("__sgm__", [0.0] * 4))
+    result["sgm_minADE_px"] = sgm["minADE_px"]
+    result["sgm_minFDE_px"] = sgm["minFDE_px"]
     if per_scene:
         result["per_scene"] = {k: summarize(v) for k, v in acc.items()
-                               if k != "__all__"}
+                               if k not in ("__all__", "__sgm__")}
     return result
 
 

@@ -159,8 +159,13 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
                 t.astype(f32), fut_xy.astype(f32), live_t,
                 step_mask=fut_mask.astype(f32), agg=cfg.recon_agg)
         reg = reg / max(len(out["per_iter_trajs"]), 1)
-        total = total + cfg.w_ce * ce + cfg.w_reg * reg
-        metrics.update(ioc_ce=ce, refine_reg=reg)
+        # trust region: keep every lane's refinement near its SGM hypothesis
+        delta2 = jnp.sum(jnp.square(out["refined_traj"].astype(f32)
+                                    - out["sgm_traj"].astype(f32)), axis=-1)
+        delta2 = delta2 * fut_mask[:, :, None].astype(f32)
+        delta_mag = losses.masked_mean(jnp.mean(delta2, axis=(-1, -2)), live_t)
+        total = total + cfg.w_ce * ce + cfg.w_reg * reg + cfg.w_delta * delta_mag
+        metrics.update(ioc_ce=ce, refine_reg=reg, delta_mag=delta_mag)
 
     metrics["loss"] = total
     return total, metrics
