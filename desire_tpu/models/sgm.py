@@ -129,10 +129,18 @@ def _traj_feats(xy_rel, mask):
     return jnp.concatenate([xy_rel, d], -1) * mask[..., None]
 
 
-def encode_trajectory(stack, embed_p, xy_rel, mask):
+def encode_trajectory(stack, embed_p, xy_rel, mask, dropout_key=None,
+                      keep_prob=1.0):
     """GRU-encode a trajectory. xy_rel: (N, T, 2), mask: (N, T).
-    Returns top-layer final hidden (N, H)."""
+    Returns top-layer final hidden (N, H).
+
+    keep_prob < 1 with a dropout_key applies inverted dropout to the
+    embedded features (train only) — the reference declared this flag but
+    never wired it (train.py:62-63, SURVEY §5 config row)."""
     feats = jax.nn.relu(L.dense(embed_p, _traj_feats(xy_rel, mask)))
+    if dropout_key is not None and keep_prob < 1.0:
+        keep = jax.random.bernoulli(dropout_key, keep_prob, feats.shape)
+        feats = feats * keep.astype(feats.dtype) / keep_prob
     xs = jnp.swapaxes(feats, 0, 1)                      # (T, N, emb)
     m = jnp.swapaxes(mask, 0, 1)                        # (T, N)
     n, h = xs.shape[1], stack[0]["wh"].shape[0]
@@ -245,13 +253,18 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     origin = obs_xy[:, -1]                                # (N, 2)
     rel_obs = (obs_xy - origin[:, None]) * obs_mask[..., None]
 
-    hx, hx_all = encode_trajectory(p["enc_x"], p["embed_x"], rel_obs, obs_mask)
+    key, kdx, kdy = jax.random.split(key, 3)
+    kp = cfg.keep_prob if train else 1.0
+    hx, hx_all = encode_trajectory(p["enc_x"], p["embed_x"], rel_obs, obs_mask,
+                                   dropout_key=kdx if train else None,
+                                   keep_prob=kp)
     rho = temporal_features(p, rel_obs, obs_mask)         # (N, 2*cm)
 
     if train:
         assert fut_xy is not None and fut_mask is not None
         rel_fut = (fut_xy - origin[:, None]) * fut_mask[..., None]
-        hy, _ = encode_trajectory(p["enc_y"], p["embed_y"], rel_fut, fut_mask)
+        hy, _ = encode_trajectory(p["enc_y"], p["embed_y"], rel_fut, fut_mask,
+                                  dropout_key=kdy, keep_prob=kp)
         mu, logvar = vae_encode(p, hx, hy, side)
         eps = jax.random.normal(key, (n, K, lat), hx.dtype)
         z = mu[:, None] + jnp.exp(0.5 * logvar)[:, None] * eps

@@ -268,3 +268,26 @@ def test_bfloat16_compute_path():
     )(params, xy, mask, ids)
     assert np.isfinite(float(loss))
     assert loss.dtype == jnp.float32  # loss accumulates in fp32
+
+
+def test_dropout_active_only_in_training():
+    """keep_prob wired (the reference declared it unused): train-time
+    forwards with different keys differ even with z fixed via the same key
+    split... here we check eval determinism + train stochasticity."""
+    cfg = tiny_cfg(keep_prob=0.5, use_ioc=False, use_scf=False)
+    p = desire.init_desire(jax.random.PRNGKey(0), cfg)
+    xy, mask, ids = _toy_batch(cfg)
+    f_eval = jax.jit(lambda k: desire.desire_forward(
+        p, cfg, xy, mask, ids, key=k, train=False)["sgm_traj"])
+    # eval path: same key -> identical (no dropout)
+    np.testing.assert_array_equal(np.asarray(f_eval(jax.random.PRNGKey(3))),
+                                  np.asarray(f_eval(jax.random.PRNGKey(3))))
+    # train path consumes dropout randomness: loss differs across keys more
+    # than it would from z alone with keep_prob=1
+    def loss(kp, key):
+        c = cfg.replace(keep_prob=kp)
+        return float(desire.desire_loss(p, c, xy, mask, ids,
+                                        key=key, step=0)[0])
+    l_a = loss(0.5, jax.random.PRNGKey(4))
+    l_b = loss(0.5, jax.random.PRNGKey(5))
+    assert l_a != l_b  # stochastic under dropout
