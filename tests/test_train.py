@@ -218,3 +218,23 @@ def test_stochastic_sampler_differs_from_mean(env):
     sto = make_sampler(cfg, stochastic=True)(params, xy, mask, ids,
                                              jax.random.PRNGKey(5))
     assert not np.allclose(np.asarray(det["traj"]), np.asarray(sto["traj"]))
+
+
+def test_rollout_long_horizon(env):
+    """Autoregressive rollout (reference sample() feed-back analogue):
+    chunked prediction extends the horizon; observed part is preserved."""
+    from desire_tpu.eval.sampler import make_rollout
+    cfg, loader = env["cfg"], env["loader"]
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    b = loader.materialize(3)
+    xy, mask, ids = trainer.batch_to_device(b)
+    obs_xy = jnp.swapaxes(xy[:, :cfg.obs_len], 1, 2)
+    obs_mask = jnp.swapaxes(mask[:, :cfg.obs_len], 1, 2)
+    roll = make_rollout(cfg)
+    out = roll(params, obs_xy, obs_mask, ids, jax.random.PRNGKey(1),
+               num_chunks=3)
+    assert out.shape == (3, cfg.max_num_obj,
+                         cfg.obs_len + 3 * cfg.pred_len, 2)
+    np.testing.assert_allclose(np.asarray(out[:, :, :cfg.obs_len]),
+                               np.asarray(obs_xy), rtol=1e-5)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
