@@ -54,6 +54,7 @@ class DESIREModel:
                                          steps_per_epoch=100)
         self._step_fn = trainer.make_train_step(self.cfg, 100)
         self._key = jax.random.PRNGKey(seed + 1)
+        self._samplers = {}  # (obs_len,) -> jitted rollout (avoid recompiles)
 
     # -- training -----------------------------------------------------------
     def train_step(self, x_batch: np.ndarray, y_batch: np.ndarray) -> float:
@@ -95,8 +96,15 @@ class DESIREModel:
         del sess, grid, dimensions, true_traj
         traj = np.asarray(traj, np.float32)
         to, a, _ = traj.shape
-        cfg = self.cfg.replace(obs_len=to)
-        sampler = make_rollout(cfg, k_samples=self.cfg.num_samples)
+        # paper protocol so split_batch honors the caller's obs length
+        # (under protocol='compat' the split is pinned to seq_length and an
+        # arbitrary obs window would mis-split)
+        cfg = self.cfg.replace(protocol="paper", obs_len=to,
+                               pred_len=self.cfg.seq_length, subsample=1)
+        if to not in self._samplers:
+            self._samplers[to] = make_rollout(
+                cfg, k_samples=self.cfg.num_samples)
+        sampler = self._samplers[to]
         obs_xy = jnp.asarray(traj[None, :, :, 1:3]).swapaxes(1, 2)  # (1,A,To,2)
         obs_mask = jnp.asarray((traj[None, :, :, 0] > 0)
                                .astype(np.float32)).swapaxes(1, 2)

@@ -4,7 +4,7 @@
 //
 // The reference ingested these with np.genfromtxt in a Python loop
 // (utils/data_loader.py:98) — the #1 CPU hot loop (SURVEY §3.5). This
-// parser mmaps the file and strtod's all four rows in one pass
+// parser reads the file once and strtod's all four rows in one pass
 // (~30-60x faster on the 3.5M-record tree).
 //
 // Build: python -m desire_tpu.data.native.build
@@ -14,44 +14,52 @@
 #include <cstdlib>
 #include <cstring>
 #include <fcntl.h>
-#include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
 
 namespace {
 
-struct Mapped {
-  const char* data = nullptr;
+// Read the whole file into a NUL-terminated heap buffer. (An earlier mmap
+// version let strtod run past the mapping when a file ended exactly on a
+// page boundary with a trailing digit — strtod needs a terminator.)
+struct Loaded {
+  char* data = nullptr;
   size_t size = 0;
-  int fd = -1;
   bool ok() const { return data != nullptr; }
 };
 
-Mapped map_file(const char* path) {
-  Mapped m;
-  m.fd = open(path, O_RDONLY);
-  if (m.fd < 0) return m;
+Loaded load_file(const char* path) {
+  Loaded m;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return m;
   struct stat st;
-  if (fstat(m.fd, &st) != 0 || st.st_size == 0) {
-    close(m.fd);
-    m.fd = -1;
+  if (fstat(fd, &st) != 0 || st.st_size == 0) {
+    close(fd);
     return m;
   }
-  void* p = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, m.fd, 0);
-  if (p == MAP_FAILED) {
-    close(m.fd);
-    m.fd = -1;
+  char* buf = static_cast<char*>(malloc(st.st_size + 1));
+  if (!buf) {
+    close(fd);
     return m;
   }
-  m.data = static_cast<const char*>(p);
+  size_t got = 0;
+  while (got < static_cast<size_t>(st.st_size)) {
+    ssize_t r = read(fd, buf + got, st.st_size - got);
+    if (r <= 0) break;
+    got += r;
+  }
+  close(fd);
+  if (got != static_cast<size_t>(st.st_size)) {
+    free(buf);
+    return m;
+  }
+  buf[st.st_size] = '\0';
+  m.data = buf;
   m.size = st.st_size;
   return m;
 }
 
-void unmap(Mapped& m) {
-  if (m.data) munmap(const_cast<char*>(m.data), m.size);
-  if (m.fd >= 0) close(m.fd);
-}
+void unload(Loaded& m) { free(m.data); }
 
 }  // namespace
 
@@ -59,7 +67,7 @@ extern "C" {
 
 // Number of comma-separated fields in the first line, or -1 on I/O error.
 long count_fields(const char* path) {
-  Mapped m = map_file(path);
+  Loaded m = load_file(path);
   if (!m.ok()) return -1;
   long n = 1;
   for (size_t i = 0; i < m.size; ++i) {
@@ -67,14 +75,14 @@ long count_fields(const char* path) {
     if (c == ',') ++n;
     else if (c == '\n') break;
   }
-  unmap(m);
+  unload(m);
   return n;
 }
 
 // Parse 4 rows x n fields into out[4*n] (row-major). Returns the number of
 // fields parsed in the shortest row (== n on success).
 long parse_csv4(const char* path, long n, double* out) {
-  Mapped m = map_file(path);
+  Loaded m = load_file(path);
   if (!m.ok()) return -1;
   const char* p = m.data;
   const char* end = m.data + m.size;
@@ -96,7 +104,7 @@ long parse_csv4(const char* path, long n, double* out) {
     while (p < end && *p != '\n') ++p;  // skip trailing junk
     if (p < end) ++p;                   // consume newline
   }
-  unmap(m);
+  unload(m);
   return min_row;
 }
 

@@ -72,7 +72,11 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
         scale = jnp.asarray(batch.scale)
         args = (out["fut_xy"].astype(jnp.float32),
                 out["fut_mask"].astype(jnp.float32))
-        live = out["live"].astype(jnp.float32)
+        # weight by the agents the metric actually averages over (live AND
+        # has a valid future step) — weighting by bare live would bias the
+        # batch aggregation whenever the ratio differs across batches
+        live = (out["live"].astype(jnp.float32)
+                * (jnp.sum(out["fut_mask"], axis=-1) > 0))
         traj = out["traj"].astype(jnp.float32)
         best = out["best"][:, :, None].astype(jnp.float32)
         if per_scene:

@@ -115,6 +115,11 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
                          k_samples=k_samples, train=True)
     fut_xy, fut_mask, live = out["fut_xy"], out["fut_mask"], out["live"]
     f32 = jnp.float32
+    # loss mask: an agent must have at least one valid future step —
+    # otherwise its zero NLL dilutes the masked mean and its zero distances
+    # make the CE target uniform (reference C16 semantics: present in source
+    # AND target, model/model.py:351-366)
+    live = live * (jnp.sum(fut_mask, axis=-1) > 0).astype(live.dtype)
 
     # (B, A, K) step-summed NLL of ground truth under each lane's gaussians
     raw5 = out["raw5"].astype(f32)

@@ -103,4 +103,11 @@ def ioc_forward(p_ioc, p_scf, cfg: DesireConfig, traj, dec_h, feat_map,
                                             cfg.scene_channels)
         traj = traj + deltas
         per_iter.append(traj)
+    # re-score the FINAL trajectories: inside the loop scores are computed
+    # before the last delta is applied, so they would describe stale
+    # hypotheses (ranking/CE would mis-rank lanes whose final delta moved
+    # them) — one extra scoring pass aligns scores with refined_traj
+    feats = scf.fuse_context(p_scf, cfg, traj, msg, feat_map, live)
+    scores, _, _ = score_and_delta(p_ioc, feats, fut_mask,
+                                   cfg.scene_channels)
     return traj, scores, per_iter

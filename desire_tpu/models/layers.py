@@ -101,25 +101,6 @@ def gru_scan(p: Params, h0: jnp.ndarray, xs: jnp.ndarray,
     return jax.lax.scan(body, h0, inputs, reverse=reverse)
 
 
-def gru_scan_precomputed(p: Params, h0: jnp.ndarray, gi_seq: jnp.ndarray):
-    """GRU scan where the input-gate projections gi = x @ wi + bi were
-    precomputed for ALL steps (one big time-parallel MXU matmul) — the scan
-    body only does the serial h @ wh half. gi_seq: (T, N, 3H); h0: (N, H).
-    Returns (h_T, hs)."""
-    hidden = h0.shape[-1]
-
-    def body(h, gi):
-        gh = jnp.dot(h, p["wh"].astype(h.dtype),
-                     preferred_element_type=h.dtype) + p["bh"].astype(h.dtype)
-        r = jax.nn.sigmoid(gi[..., :hidden] + gh[..., :hidden])
-        z = jax.nn.sigmoid(gi[..., hidden:2 * hidden] + gh[..., hidden:2 * hidden])
-        n = jnp.tanh(gi[..., 2 * hidden:] + r * gh[..., 2 * hidden:])
-        h_new = (1.0 - z) * n + z * h
-        return h_new, h_new
-
-    return jax.lax.scan(body, h0, gi_seq)
-
-
 def init_gru_stack(key, in_dim, hidden, num_layers, dtype=jnp.float32):
     keys = jax.random.split(key, num_layers)
     return [init_gru(keys[i], in_dim if i == 0 else hidden, hidden, dtype)

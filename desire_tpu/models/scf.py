@@ -45,15 +45,30 @@ def init_scf(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
 
 def rasterize_occupancy(obs_xy, obs_mask, grid):
     """(B, To, A, 2) normalized positions -> (B, G, G, 2) raster:
-    channel 0 = time-integrated occupancy, channel 1 = last-step occupancy."""
+    channel 0 = time-integrated occupancy, channel 1 = last-step occupancy.
+
+    Bilinear *splat* onto grid nodes at pos*(G-1) — the exact adjoint of
+    bilinear_pool's align-corners sampling, so occupancy is written at the
+    same grid locations hypotheses later pool from (a floor(pos*G) cell
+    convention here was misaligned with the node convention by up to half a
+    cell)."""
     b, t, a, _ = obs_xy.shape
-    ij = jnp.clip((obs_xy * grid).astype(jnp.int32), 0, grid - 1)
-    cell = ij[..., 1] * grid + ij[..., 0]                 # (B, To, A)
-    flat = jnp.zeros((b, grid * grid, 2), obs_xy.dtype)
+    xy = jnp.clip(obs_xy, 0.0, 1.0) * (grid - 1)
+    x0 = jnp.floor(xy[..., 0]);  y0 = jnp.floor(xy[..., 1])
+    fx = xy[..., 0] - x0;        fy = xy[..., 1] - y0
+    x0i = x0.astype(jnp.int32);  y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, grid - 1)
+    y1i = jnp.minimum(y0i + 1, grid - 1)
+
     last = jnp.zeros_like(obs_mask).at[:, -1].set(obs_mask[:, -1])
     w = jnp.stack([obs_mask, last], -1)                   # (B, To, A, 2)
+    flat = jnp.zeros((b, grid * grid, 2), obs_xy.dtype)
     bidx = jnp.arange(b)[:, None, None]
-    flat = flat.at[bidx, cell].add(w)
+    for yy, xx, cw in ((y0i, x0i, (1 - fx) * (1 - fy)),
+                       (y0i, x1i, fx * (1 - fy)),
+                       (y1i, x0i, (1 - fx) * fy),
+                       (y1i, x1i, fx * fy)):
+        flat = flat.at[bidx, yy * grid + xx].add(w * cw[..., None])
     return (flat / t).reshape(b, grid, grid, 2)
 
 

@@ -43,7 +43,9 @@ def main(argv=None):
         for field in ("d_dim", "latent_size", "embedding_size", "rnn_size",
                       "num_layers", "channel_multiplier", "scene_grid",
                       "scene_channels", "use_ioc", "use_scf", "use_social",
-                      "num_refine"):
+                      "num_refine", "vel_scale"):  # vel_scale shapes the
+            #                      forward pass — restoring without it would
+            #                      silently rescale every residual
             cfg = cfg.replace(**{field: getattr(saved_cfg, field)})
 
     loader = SDDLoader(cfg)

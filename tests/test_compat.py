@@ -78,3 +78,14 @@ def test_sample_reference_signature(model):
     jump = np.linalg.norm(out[6, live, 1:3] - traj[-1, live, 1:3], axis=-1)
     spread = np.linalg.norm(traj[-1, live, 1:3] - traj[0, live, 1:3], axis=-1)
     assert (jump < np.maximum(spread, 5.0) * 3).all()
+
+
+def test_sample_arbitrary_obs_length(model):
+    """The reference sample() accepts any obs_length; under the compat
+    protocol the split used to be pinned to seq_length (mis-split)."""
+    rng = np.random.RandomState(2)
+    traj = _traj(rng, 4, 5)    # obs length 4 != seq_length 6
+    out = model.sample(None, traj, num=3)
+    assert out.shape == (7, 5, 3)
+    np.testing.assert_array_equal(out[:4], traj)
+    assert np.isfinite(out).all()

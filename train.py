@@ -95,17 +95,21 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
             log.log(dict(m, event="train"))
             if mgr is not None and m["batch"] % save_interval == 0 and m["batch"] > 0:
                 mgr.save(cur_state, loader.state, cfg)
+        epoch_start = start_batch if epoch == start_epoch else 0
         if profile_dir and epoch == start_epoch:
-            # trace a short slice of the first epoch (SURVEY §5 tracing row)
+            # trace a short slice of the first epoch (SURVEY §5 tracing row);
+            # the main loop resumes AFTER the traced batches (they took real
+            # optimizer steps — don't train them twice)
+            traced = min(max_train_batches or 4, 4)
             with jax.profiler.trace(profile_dir):
                 state, _ = trainer.run_epoch(
                     state, loader, epoch, step_fn, log_fn=log_fn,
-                    start_batch=start_batch, mesh=mesh,
-                    max_batches=min(max_train_batches or 4, 4))
+                    start_batch=epoch_start, mesh=mesh, max_batches=traced)
             log.log({"event": "profile", "dir": profile_dir})
+            epoch_start += traced
         state, mean_loss = trainer.run_epoch(
             state, loader, epoch, step_fn, log_fn=log_fn,
-            start_batch=start_batch if epoch == start_epoch else 0, mesh=mesh,
+            start_batch=epoch_start, mesh=mesh,
             max_batches=max_train_batches)
         log.log({"event": "epoch", "epoch": epoch, "mean_loss": mean_loss})
         if mgr is not None:
