@@ -96,26 +96,36 @@ class DESIREModel:
         del sess, grid, dimensions, true_traj
         traj = np.asarray(traj, np.float32)
         to, a, _ = traj.shape
-        # paper protocol so split_batch honors the caller's obs length
-        # (under protocol='compat' the split is pinned to seq_length and an
-        # arbitrary obs window would mis-split)
-        cfg = self.cfg.replace(protocol="paper", obs_len=to,
+        # the temporal-conv filter spans a fixed observation window (exactly
+        # like the reference's (1, seq_len, 2, 100) filter), so arbitrary
+        # obs lengths are left-padded (mask 0) or trimmed to the trained
+        # window — one compiled geometry, no per-length recompiles
+        t_obs = self.cfg.seq_length
+        # paper protocol so split_batch splits at the obs window (under
+        # protocol='compat' the split is pinned differently)
+        cfg = self.cfg.replace(protocol="paper", obs_len=t_obs,
                                pred_len=self.cfg.seq_length, subsample=1)
-        if to not in self._samplers:
-            self._samplers[to] = make_rollout(
+        if t_obs not in self._samplers:
+            self._samplers[t_obs] = make_rollout(
                 cfg, k_samples=self.cfg.num_samples)
-        sampler = self._samplers[to]
-        obs_xy = jnp.asarray(traj[None, :, :, 1:3]).swapaxes(1, 2)  # (1,A,To,2)
-        obs_mask = jnp.asarray((traj[None, :, :, 0] > 0)
+        sampler = self._samplers[t_obs]
+
+        win = traj[-t_obs:]
+        pad = t_obs - win.shape[0]
+        if pad > 0:
+            win = np.concatenate([np.zeros((pad, a, 3), np.float32), win], 0)
+        obs_xy = jnp.asarray(win[None, :, :, 1:3]).swapaxes(1, 2)  # (1,A,T,2)
+        obs_mask = jnp.asarray((win[None, :, :, 0] > 0)
                                .astype(np.float32)).swapaxes(1, 2)
         ids = jnp.asarray(traj[None, 0, :, 0])
         self._key, sub = jax.random.split(self._key)
         chunks = -(-num // cfg.pred_len)
         full = sampler(self.params, obs_xy, obs_mask, ids, sub,
-                       num_chunks=chunks)                  # (1, A, To+*, 2)
-        pred = np.asarray(full[0].swapaxes(0, 1), np.float32)[: to + num]
+                       num_chunks=chunks)                  # (1, A, T+*, 2)
+        pred = np.asarray(full[0].swapaxes(0, 1), np.float32)[t_obs:
+                                                              t_obs + num]
         out = np.zeros((to + num, a, 3), np.float32)
-        out[:, :, 1:3] = pred
-        out[:, :, 0] = traj[0, :, 0][None]                 # carry ids forward
+        out[to:, :, 1:3] = pred
+        out[to:, :, 0] = traj[0, :, 0][None]               # carry ids forward
         out[:to] = traj
         return out

@@ -68,11 +68,15 @@ class DesireConfig:
     w_kld: float = 1.0           # CVAE KL divergence
     w_ce: float = 1.0            # IOC ranking cross-entropy
     w_reg: float = 1.0           # refinement regression
-    w_delta: float = 0.1         # trust-region penalty on refinement deltas
+    w_delta: float = 0.5         # trust-region penalty on refinement deltas
     #                              (|refined - sgm|^2): with min-agg
     #                              regression only the winning lane gets a
     #                              direct pull, this keeps the other lanes'
-    #                              deltas from drifting off their hypotheses
+    #                              deltas from drifting off their hypotheses.
+    #                              Evidence at 0.1 (held-out nexus run):
+    #                              SGM oracle 20.7px but refined 48.8px —
+    #                              deltas still drifted ~60px on non-winning
+    #                              lanes
     kld_warmup: int = 200        # steps of linear KLD annealing (0 = off)
     vel_scale: float = 0.25      # per-step displacement bound (scene units):
     #                              decoder velocities are tanh-squashed to

@@ -39,14 +39,18 @@ def main(argv=None):
     cfg = config_from_args(args)
     saved_cfg = ckpt_mod.load_config(cfg.save_dir) if cfg.save_dir else None
     if saved_cfg is not None and not args.random_params:
-        # keep model geometry from the checkpoint; data/eval flags from CLI
+        # model geometry comes from the checkpoint UNLESS the flag was
+        # explicitly set on the command line (e.g. --num_refine 0 to eval
+        # the raw SGM hypotheses); data/eval flags always from CLI
+        defaults = DesireConfig()
         for field in ("d_dim", "latent_size", "embedding_size", "rnn_size",
                       "num_layers", "channel_multiplier", "scene_grid",
                       "scene_channels", "use_ioc", "use_scf", "use_social",
                       "num_refine", "vel_scale"):  # vel_scale shapes the
             #                      forward pass — restoring without it would
             #                      silently rescale every residual
-            cfg = cfg.replace(**{field: getattr(saved_cfg, field)})
+            if getattr(cfg, field) == getattr(defaults, field):
+                cfg = cfg.replace(**{field: getattr(saved_cfg, field)})
 
     loader = SDDLoader(cfg)
     params = init_desire(jax.random.PRNGKey(cfg.seed), cfg)
