@@ -55,6 +55,20 @@ class DESIREModel:
         self._step_fn = trainer.make_train_step(self.cfg, 100)
         self._key = jax.random.PRNGKey(seed + 1)
         self._samplers = {}  # (obs_len,) -> jitted rollout (avoid recompiles)
+        # Coordinate scale: the reference fed raw SDD pixels, but the model's
+        # physical priors (vel_scale displacement bounds, IOC delta scale,
+        # SCF scene-grid mapping) are calibrated to [0,1] scene units — raw
+        # thousand-pixel coords would pin the decoder to its tanh bounds and
+        # collapse all agents onto one scene-grid corner (ADVICE r1). The
+        # scale locks to a power of two covering the first batch seen and
+        # every output is denormalized back to input units.
+        self._scale = None
+
+    def _lock_scale(self, coords: np.ndarray) -> float:
+        if self._scale is None:
+            hi = float(np.max(coords)) if coords.size else 1.0
+            self._scale = float(2.0 ** np.ceil(np.log2(max(hi, 1.0))))
+        return self._scale
 
     # -- training -----------------------------------------------------------
     def train_step(self, x_batch: np.ndarray, y_batch: np.ndarray) -> float:
@@ -68,9 +82,13 @@ class DESIREModel:
         y = np.asarray(y_batch, np.float32)
         # reconstruct the (1, T+1, A, 2) window: x frames then y's last frame
         seq = np.concatenate([x[None], y[None, -1:]], axis=1)
-        xy = jnp.asarray(seq[..., 1:3])
-        ids = jnp.asarray(x[None, 0, :, 0])
-        mask = jnp.asarray((seq[..., 0] > 0).astype(np.float32))
+        present = seq[..., 0] > 0
+        scale = self._lock_scale(seq[..., 1:3][present])
+        xy = jnp.asarray(seq[..., 1:3] / scale)
+        # slot id = the id wherever the slot is occupied (the reference keyed
+        # ids per-frame; frame 0 alone drops late-appearing agents)
+        ids = jnp.asarray(seq[0, :, :, 0].max(axis=0)[None])
+        mask = jnp.asarray(present.astype(np.float32))
         self._state, metrics = self._step_fn(self._state, xy, mask, ids)
         self.params = self._state.params
         return float(metrics["loss"])
@@ -93,9 +111,17 @@ class DESIREModel:
         grid are unused (no session; no social grid — SCF replaces it).
         Returns (obs_length + num, max_num_obj, 3).
         """
-        del sess, grid, dimensions, true_traj
+        del sess, grid, true_traj
         traj = np.asarray(traj, np.float32)
         to, a, _ = traj.shape
+        present_in = traj[:, :, 0] > 0
+        if dimensions is not None:
+            # reference passed the scene (width, height) here — the natural
+            # normalization scale when provided
+            self._scale = self._scale or float(max(*dimensions, 1.0))
+        scale = self._lock_scale(traj[..., 1:3][present_in])
+        traj = traj.copy()
+        traj[..., 1:3] /= scale
         # the temporal-conv filter spans a fixed observation window (exactly
         # like the reference's (1, seq_len, 2, 100) filter), so arbitrary
         # obs lengths are left-padded (mask 0) or trimmed to the trained
@@ -117,7 +143,10 @@ class DESIREModel:
         obs_xy = jnp.asarray(win[None, :, :, 1:3]).swapaxes(1, 2)  # (1,A,T,2)
         obs_mask = jnp.asarray((win[None, :, :, 0] > 0)
                                .astype(np.float32)).swapaxes(1, 2)
-        ids = jnp.asarray(traj[None, 0, :, 0])
+        # slot id = id at ANY frame the slot is occupied, not frame 0 (an
+        # agent appearing mid-window would otherwise be masked out)
+        slot_ids = traj[:, :, 0].max(axis=0)               # (A,)
+        ids = jnp.asarray(slot_ids[None])
         self._key, sub = jax.random.split(self._key)
         chunks = -(-num // cfg.pred_len)
         full = sampler(self.params, obs_xy, obs_mask, ids, sub,
@@ -125,7 +154,8 @@ class DESIREModel:
         pred = np.asarray(full[0].swapaxes(0, 1), np.float32)[t_obs:
                                                               t_obs + num]
         out = np.zeros((to + num, a, 3), np.float32)
-        out[to:, :, 1:3] = pred
-        out[to:, :, 0] = traj[0, :, 0][None]               # carry ids forward
+        out[to:, :, 1:3] = pred * scale
+        out[to:, :, 0] = slot_ids[None]                    # carry ids forward
         out[:to] = traj
+        out[:to, :, 1:3] *= scale                          # back to input units
         return out

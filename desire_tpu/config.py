@@ -25,8 +25,12 @@ class DesireConfig:
     num_epochs: int = 100
     save_every: int = 400
     grad_clip: float = 10.0
-    learning_rate: float = 0.005
-    decay_rate: float = 0.95     # per-epoch exponential LR decay (train.py:122-126)
+    learning_rate: float = 1e-3  # reference default was 0.005 (train.py:55-56);
+    #                              1e-3 is the measured-stable recipe for this
+    #                              model (RESULTS.md headline run)
+    decay_rate: float = 0.985    # per-epoch exponential LR decay
+    #                              (train.py:122-126; reference default 0.95
+    #                              decays 190-step epochs too fast here)
     keep_prob: float = 0.8       # dropout keep prob (reference declared it, never used)
     embedding_size: int = 64     # spatial embedding before the encoders
     neighborhood_size: int = 32  # social-pooling neighborhood (pixels, normalized units)
@@ -40,7 +44,10 @@ class DesireConfig:
     stride: int = 1              # temporal-conv stride (train.py:87-88)
 
     # ---- promoted from hardcoded reference constants ----
-    num_samples: int = 7         # K hypothesis lanes (reference hardcodes 7, model.py:280)
+    num_samples: int = 12        # K hypothesis lanes at TRAIN time (reference
+    #                              hardcodes 7, model.py:280; eval draws its
+    #                              own K). 12 is the headline-recipe value —
+    #                              `python train.py` reproduces RESULTS.md.
     channel_multiplier: int = 100  # temporal-conv feature multiplier (model.py:46)
 
     # ---- paper-protocol data flags (absent from the reference; see SURVEY §5) ----
@@ -65,7 +72,8 @@ class DesireConfig:
 
     # ---- loss weights ----
     w_nll: float = 1.0           # bivariate-Gaussian reconstruction NLL
-    w_kld: float = 1.0           # CVAE KL divergence
+    w_kld: float = 2.0           # CVAE KL divergence (headline recipe; 1.0
+    #                              under-regularized the posterior at K=12)
     w_ce: float = 1.0            # IOC ranking cross-entropy
     w_reg: float = 1.0           # refinement regression
     w_delta: float = 0.5         # trust-region penalty on refinement deltas

@@ -8,6 +8,7 @@ hypotheses, masked-averaged over live agents.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from desire_tpu.models import losses
@@ -51,3 +52,96 @@ def best_of_k_by_score(pred, scores):
     idx = jnp.argmax(scores, axis=-1)
     return jnp.take_along_axis(
         pred, idx[..., None, None, None], axis=2)[:, :, 0]
+
+
+def horizon_ade_fde(pred, gt, step_mask, agent_mask, horizon_steps,
+                    scale=None):
+    """Paper-protocol errors at a (possibly fractional) horizon.
+
+    The DESIRE paper reports SDD errors at 1.0-4.0 s; at the 2.5 Hz protocol
+    rate step t (1-based) sits at t/2.5 s, so 1.0 s falls BETWEEN steps 2 and
+    3 (horizon_steps = 2.5). Trajectories are piecewise-linear between
+    annotation samples, so the position at a fractional step is the lerp of
+    the bracketing steps — FDE@h uses that interpolated point; ADE@h averages
+    the displacement errors of the integer steps up to floor(h).
+
+    pred (B, A, K, T, 2); gt (B, A, T, 2); step_mask (B, A, T);
+    agent_mask (B, A); horizon_steps: float in (0, T].
+    Returns (minADE@h, minFDE@h, count) — count = agents whose mask covers
+    every step up to ceil(h) (partial futures are excluded: an interpolated
+    endpoint across a masked gap would be fiction).
+    """
+    if scale is not None:
+        pred = pred * scale[:, None, None, None, None]
+        gt = gt * scale[:, None, None, None]
+    t = gt.shape[-2]
+    lo = max(int(jnp.floor(horizon_steps + 1e-6)), 1)       # 1-based
+    hi = min(int(jnp.ceil(horizon_steps - 1e-6)), t)
+    frac = float(horizon_steps) - lo
+    d = jnp.linalg.norm(pred - gt[..., None, :, :], axis=-1)  # (B,A,K,T)
+    ade = jnp.mean(d[..., :lo], axis=-1)                      # (B, A, K)
+    if hi > lo:
+        p_h = pred[..., lo - 1, :] * (1 - frac) + pred[..., hi - 1, :] * frac
+        g_h = gt[..., lo - 1, :] * (1 - frac) + gt[..., hi - 1, :] * frac
+        fde = jnp.linalg.norm(p_h - g_h[..., None, :], axis=-1)
+    else:
+        fde = d[..., lo - 1]
+    covered = jnp.all(step_mask[..., :hi] > 0, axis=-1)       # (B, A)
+    valid = agent_mask * covered
+    min_ade = losses.masked_mean(jnp.min(ade, axis=-1), valid)
+    min_fde = losses.masked_mean(jnp.min(fde, axis=-1), valid)
+    return min_ade, min_fde, jnp.sum(valid)
+
+
+# ---------------------------------------------------------------------------
+# Distribution calibration (north star: "match the TF1 reference in
+# distribution" — the reference specifies bivariate-Gaussian heads, C14;
+# these statistics test that the model's predictive distribution is an
+# honest one, not just that its mean is close)
+# ---------------------------------------------------------------------------
+
+def pit_values(raw5, gt, step_mask, agent_mask):
+    """Probability-integral-transform of the ground truth under the K-lane
+    Gaussian mixture, per coordinate.
+
+    For each future step the model's marginal predictive distribution in x is
+    the uniform mixture over lanes N(mu_kx, sx_k); its exact CDF at the truth
+    is u = mean_k Phi((x - mu_kx)/sx_k) (same for y). If the predictive
+    distribution is calibrated, u is Uniform(0,1) over held-out data.
+
+    raw5 (B, A, K, T, 5); gt (B, A, T, 2); step_mask (B, A, T);
+    agent_mask (B, A). Returns (u (B,A,T,2), weights (B,A,T)).
+    """
+    mux, muy, sx, sy, _ = losses.get_coef(raw5.astype(jnp.float32))
+    gx = gt[..., None, :, 0]
+    gy = gt[..., None, :, 1]
+
+    def phi(z):
+        return 0.5 * (1.0 + jax.scipy.special.erf(z / jnp.sqrt(2.0)))
+
+    ux = jnp.mean(phi((gx - mux) / sx), axis=-2)          # (B, A, T)
+    uy = jnp.mean(phi((gy - muy) / sy), axis=-2)
+    w = step_mask * agent_mask[..., None]
+    return jnp.stack([ux, uy], axis=-1), w
+
+
+def pit_histogram(u, w, bins=10):
+    """Weighted PIT histogram counts (flattened over coords)."""
+    u = u.reshape(-1)
+    w = jnp.broadcast_to(w[..., None], w.shape + (2,)).reshape(-1)
+    edges = jnp.linspace(0.0, 1.0, bins + 1)
+    idx = jnp.clip(jnp.searchsorted(edges, u, side="right") - 1, 0, bins - 1)
+    return jnp.zeros(bins).at[idx].add(w)
+
+
+def coverage(u, w, levels=(0.5, 0.9)):
+    """Central-interval coverage: fraction of PIT values inside the central
+    `level` interval ((1-l)/2, (1+l)/2). Calibrated -> coverage == level."""
+    w2 = jnp.broadcast_to(w[..., None], w.shape + (2,))
+    tot = jnp.maximum(jnp.sum(w2), 1e-8)
+    out = {}
+    for lv in levels:
+        lo, hi = (1 - lv) / 2, (1 + lv) / 2
+        inside = jnp.logical_and(u >= lo, u <= hi).astype(jnp.float32)
+        out[lv] = float(jnp.sum(inside * w2) / tot)
+    return out

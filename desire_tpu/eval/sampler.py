@@ -40,7 +40,7 @@ def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
             scores = jnp.zeros(traj.shape[:3], traj.dtype)
         best = M.best_of_k_by_score(traj, scores)
         return {"traj": traj, "scores": scores, "best": best,
-                "sgm_traj": out["sgm_traj"],
+                "sgm_traj": out["sgm_traj"], "raw5": out["raw5"],
                 "fut_mask": out["fut_mask"], "live": out["live"],
                 "fut_xy": out["fut_xy"]}
     return jax.jit(fn)
@@ -48,13 +48,26 @@ def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
 
 def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
              key=None, max_batches=None, epoch: int = 0,
-             per_scene: bool = False) -> dict:
+             per_scene: bool = False, horizons=None,
+             calibration: bool = False) -> dict:
     """minADE/minFDE (pixels) over a loader's epoch stream.
 
-    per_scene=True adds a per-scene breakdown keyed by scene name."""
+    per_scene=True adds a per-scene breakdown keyed by scene name.
+    horizons: optional seconds tuple (e.g. (1,2,3,4)) — adds the DESIRE
+    paper's SDD table protocol: errors at each horizon, both full-resolution
+    pixels and the paper's 1/5-resolution pixels (BASELINE.md:26-29).
+    calibration=True adds PIT/coverage statistics of the SGM gaussian heads
+    (north-star "match in distribution" evidence)."""
     sampler = make_sampler(cfg, k_samples=k_samples)
     key = key if key is not None else jax.random.PRNGKey(cfg.seed + 1)
     acc: dict = {}
+    # protocol rate: SDD annotations are ~30 fps; subsample strides to the
+    # paper's 2.5 Hz (config.py subsample=12)
+    hz = 30.0 / max(cfg.subsample, 1)
+    hor_acc = {h: [0.0, 0.0, 0.0, 0.0, 0.0] for h in (horizons or ())}
+    pit_bins = 20
+    cal_acc = {"hist": np.zeros(pit_bins), "cov_n": 0.0,
+               "cov": {0.5: 0.0, 0.9: 0.0}}
 
     def add(tag, a, f, b_ade, n):
         d = acc.setdefault(tag, [0.0, 0.0, 0.0, 0.0])
@@ -97,6 +110,29 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
                                live, scale=scale)
         add("__sgm__", float(sa), float(sf), float(sa),
             float(jnp.sum(live)))
+        for h in (horizons or ()):
+            steps = h * hz
+            if steps > traj.shape[-2] + 1e-6:
+                continue
+            ha, hf, n_h = M.horizon_ade_fde(traj, *args, live, steps,
+                                            scale=scale)
+            ba, bf, _ = M.horizon_ade_fde(best, *args, live, steps,
+                                          scale=scale)
+            d = hor_acc[h]
+            n_h = float(n_h)
+            d[0] += float(ha) * n_h
+            d[1] += float(hf) * n_h
+            d[2] += float(ba) * n_h
+            d[3] += float(bf) * n_h
+            d[4] += n_h
+        if calibration:
+            u, w = M.pit_values(out["raw5"], args[0], args[1], live)
+            cal_acc["hist"] += np.asarray(M.pit_histogram(u, w, pit_bins))
+            cov = M.coverage(u, w)
+            n_c = float(jnp.sum(w)) * 2
+            for lv in cov:
+                cal_acc["cov"][lv] += cov[lv] * n_c
+            cal_acc["cov_n"] += n_c
 
     def summarize(d):
         w = max(d[3], 1e-8)
@@ -111,6 +147,33 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
     if per_scene:
         result["per_scene"] = {k: summarize(v) for k, v in acc.items()
                                if k not in ("__all__", "__sgm__")}
+    if horizons:
+        result["horizons"] = {}
+        for h, d in hor_acc.items():
+            if d[4] <= 0:
+                continue
+            w = d[4]
+            result["horizons"][f"{h:.1f}s"] = {
+                "minADE_px": d[0] / w, "minFDE_px": d[1] / w,
+                "top1ADE_px": d[2] / w, "top1FDE_px": d[3] / w,
+                # the DESIRE paper's SDD table is in pixels at 1/5 resolution
+                "minADE_px_fifth": d[0] / w / 5.0,
+                "minFDE_px_fifth": d[1] / w / 5.0,
+                "num_agents": w,
+            }
+    if calibration:
+        hist = cal_acc["hist"]
+        p = hist / max(hist.sum(), 1e-8)
+        # Kolmogorov distance of the PIT empirical CDF from Uniform(0,1)
+        ks = float(np.max(np.abs(np.cumsum(p) - np.linspace(
+            1.0 / pit_bins, 1.0, pit_bins))))
+        n = max(cal_acc["cov_n"], 1e-8)
+        result["calibration"] = {
+            "pit_ks": ks,
+            "coverage_50": cal_acc["cov"][0.5] / n,
+            "coverage_90": cal_acc["cov"][0.9] / n,
+            "pit_hist": [float(x) for x in p],
+        }
     return result
 
 

@@ -53,13 +53,16 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
                    k_samples=None, train=True):
     """End-to-end forward. Returns a dict of all stage outputs."""
     K = k_samples or cfg.num_samples
-    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    xy = shard_hint(xy.astype(compute_dtype), "data")
-    mask = shard_hint(mask.astype(compute_dtype), "data")
+    # geometry (positions, masks, targets) stays f32 — bf16 quantizes [0,1]
+    # coords by ~1-4 px at SDD scale, biasing both training targets and the
+    # reported pixel metrics; only network-internal activations run in
+    # compute_dtype (cast inside sgm/scf/ioc at the embedding boundaries)
+    xy = shard_hint(xy.astype(jnp.float32), "data")
+    mask = shard_hint(mask.astype(jnp.float32), "data")
 
     b, _, a, _ = xy.shape
     obs_xy, fut_xy, obs_mask, fut_mask = split_batch(cfg, xy, mask)
-    live = losses.agent_validity_mask(ids).astype(compute_dtype)  # (B, A)
+    live = losses.agent_validity_mask(ids)                        # (B, A)
 
     n = b * a
     out = sgm_mod.sgm_forward(
@@ -86,9 +89,18 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
     }
 
     if cfg.use_ioc:
-        feat_map = scf_mod.scene_feature_map(
-            params["scf"], jnp.swapaxes(obs_xy, 1, 2), jnp.swapaxes(obs_mask, 1, 2),
-            cfg.scene_grid)
+        if cfg.use_scf:
+            feat_map = scf_mod.scene_feature_map(
+                params["scf"], jnp.swapaxes(obs_xy, 1, 2),
+                jnp.swapaxes(obs_mask, 1, 2), cfg.scene_grid,
+                compute_dtype=cfg.compute_dtype)
+        else:
+            # use_scf=False with IOC on: rank/refine from dynamics + social
+            # context only — a zero scene map keeps the fusion layout stable
+            # while actually disabling scene-context features (ADVICE r1)
+            cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+            feat_map = jnp.zeros(
+                (b, cfg.scene_grid, cfg.scene_grid, cfg.scene_channels), cd)
         refined, scores, per_iter = ioc_mod.ioc_forward(
             params["ioc"], params["scf"], cfg, traj, dec_h, feat_map,
             live, fut_mask)

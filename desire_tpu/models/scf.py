@@ -72,9 +72,16 @@ def rasterize_occupancy(obs_xy, obs_mask, grid):
     return (flat / t).reshape(b, grid, grid, 2)
 
 
-def scene_feature_map(p, obs_xy, obs_mask, grid):
-    """Occupancy raster -> CNN -> (B, G, G, C)."""
-    raster = rasterize_occupancy(obs_xy, obs_mask, grid)
+def scene_feature_map(p, obs_xy, obs_mask, grid, compute_dtype="float32"):
+    """Occupancy raster -> CNN -> (B, G, G, C).
+
+    Rasterization runs in the (f32) position dtype for exact splat weights;
+    the CNN runs in compute_dtype (the raster values are O(1) occupancy
+    densities — bf16-safe)."""
+    raster = rasterize_occupancy(obs_xy.astype(jnp.float32),
+                                 obs_mask.astype(jnp.float32), grid)
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    raster = raster.astype(cd)
     h = jax.nn.relu(L.groupnorm(p["gn1"], L.conv2d(p["conv1"], raster)))
     h = jax.nn.relu(L.groupnorm(p["gn2"], L.conv2d(p["conv2"], h)))
     return h
@@ -126,6 +133,7 @@ def social_pool(p, traj, msg, live):
     flagship shapes, HBM-bound; measured ~37 ms/iteration).
     """
     b, a, k, tf, d = msg.shape
+    traj = traj.astype(msg.dtype)  # distances feed a softmax kernel: cd-safe
     y = jnp.moveaxis(traj, 1, 3).reshape(b, k * tf, a, 2)   # (B, KT, A, 2)
     m = jnp.moveaxis(msg, 1, 3).reshape(b, k * tf, a, d)    # (B, KT, A, d)
     sq = jnp.sum(y * y, axis=-1)                            # (B, KT, A)
@@ -153,14 +161,18 @@ def fuse_context(p, cfg: DesireConfig, traj, msg, feat_map, live):
     (B,A,K,Tf,2), (B,A,K,Tf,scene_channels), (B,A,K,Tf,d_dim) — deliberately
     NOT concatenated: the only consumer (the IOC score GRU) projects them
     through its input-gate matrix, and that projection distributes over the
-    blocks — three matmuls beat materializing a (B·A·K·Tf, 82) tensor."""
-    vel = jnp.diff(traj, axis=-2, prepend=traj[..., :1, :])
+    blocks — three matmuls beat materializing a (B·A·K·Tf, 82) tensor.
+
+    traj arrives f32 (exact positions); blocks are returned in feat_map's
+    compute dtype for the downstream GRU."""
+    vel = jnp.diff(traj, axis=-2, prepend=traj[..., :1, :]).astype(msg.dtype)
     b, a, k, tf, _ = traj.shape
     if ops.use_pallas(cfg):
         from desire_tpu.ops.scene_pool import bilinear_pool_pallas
         scene = bilinear_pool_pallas(feat_map, traj.reshape(b, a * k * tf, 2))
     else:
         scene = bilinear_pool(feat_map, traj.reshape(b, a * k * tf, 2))
-    scene = scene.reshape(b, a, k, tf, -1)
+    # f32 positions x bf16 features promote — pin the block dtype back
+    scene = scene.reshape(b, a, k, tf, -1).astype(msg.dtype)
     social = social_pool(p, traj, msg, live) if cfg.use_social else None
     return vel, scene, social

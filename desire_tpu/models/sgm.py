@@ -248,6 +248,15 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     side = cfg.vae_side
     lat = cfg.latent_size
     pred_len = fut_xy.shape[1] if fut_xy is not None else cfg.pred_len
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    # Positions/geometry stay float32 end-to-end: bf16 has ~2^-9 relative
+    # precision, which quantizes [0,1] coords by ~1-4 px at SDD scene scale —
+    # enough to bias both the composed trajectory means and (upstream) the
+    # NLL targets. Only the network-internal tensors (embeddings, GRU/conv
+    # activations) run in compute_dtype.
+    obs_xy = obs_xy.astype(jnp.float32)
+    obs_mask = obs_mask.astype(jnp.float32)
 
     # translation invariance: work relative to each agent's last observed point
     origin = obs_xy[:, -1]                                # (N, 2)
@@ -255,15 +264,19 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
 
     key, kdx, kdy = jax.random.split(key, 3)
     kp = cfg.keep_prob if train else 1.0
-    hx, hx_all = encode_trajectory(p["enc_x"], p["embed_x"], rel_obs, obs_mask,
+    hx, hx_all = encode_trajectory(p["enc_x"], p["embed_x"],
+                                   rel_obs.astype(cd), obs_mask.astype(cd),
                                    dropout_key=kdx if train else None,
                                    keep_prob=kp)
-    rho = temporal_features(p, rel_obs, obs_mask)         # (N, 2*cm)
+    rho = temporal_features(p, rel_obs.astype(cd), obs_mask.astype(cd))
 
     if train:
         assert fut_xy is not None and fut_mask is not None
+        fut_xy = fut_xy.astype(jnp.float32)
+        fut_mask = fut_mask.astype(jnp.float32)
         rel_fut = (fut_xy - origin[:, None]) * fut_mask[..., None]
-        hy, _ = encode_trajectory(p["enc_y"], p["embed_y"], rel_fut, fut_mask,
+        hy, _ = encode_trajectory(p["enc_y"], p["embed_y"],
+                                  rel_fut.astype(cd), fut_mask.astype(cd),
                                   dropout_key=kdy, keep_prob=kp)
         mu, logvar = vae_encode(p, hx, hy, side)
         eps = jax.random.normal(key, (n, K, lat), hx.dtype)
@@ -289,9 +302,11 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     raw, dec_h = decode_hypotheses(p, cfg, h_seed, h_init, pred_len)
     raw = shard_hint(raw.reshape(n, K, pred_len, 5), "data", "k")
     dec_h = shard_hint(dec_h.reshape(n, K, pred_len, -1), "data", "k")
-    cv_vel = mean_observed_velocity(rel_obs, obs_mask)    # (N, 2)
-    raw5 = compose_positions(raw, origin[:, None, :], cfg.vel_scale,
-                             cv_vel=cv_vel[:, None, :])
+    cv_vel = mean_observed_velocity(rel_obs, obs_mask)    # (N, 2) f32
+    # position composition in f32 (see dtype note above); the decoder's raw
+    # head outputs are the only compute_dtype input here
+    raw5 = compose_positions(raw.astype(jnp.float32), origin[:, None, :],
+                             cfg.vel_scale, cv_vel=cv_vel[:, None, :])
 
     return {
         "raw5": raw5,                 # (N, K, Tf, 5) absolute-position gaussians

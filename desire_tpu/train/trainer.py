@@ -104,14 +104,17 @@ def run_epoch(state: TrainState, loader, epoch: int, step_fn,
             # float() would force a device sync and break async dispatch
             m = {k: float(v) for k, v in metrics.items()}
             if not np.isfinite(m["loss"]):
+                # do NOT hand a non-finite-loss state to log_fn — train.py's
+                # log_fn checkpoints on its save cadence, and a NaN-parameter
+                # checkpoint can evict good ones (fail-fast intent, ADVICE r1)
                 bad += 1
                 if bad >= max_bad_steps:
                     raise NonFiniteLossError(
                         f"{bad} consecutive non-finite losses at epoch "
                         f"{epoch} batch {bi}; resume from the last good "
                         f"checkpoint")
-            else:
-                bad = 0
+                continue
+            bad = 0
             if log_fn is not None:
                 m.update(epoch=epoch, batch=bi, step=int(state.step),
                          sec_per_batch=(time.time() - t0) / max(bi - start_batch + 1, 1))

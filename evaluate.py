@@ -22,35 +22,50 @@ from desire_tpu.train import checkpoint as ckpt_mod
 from desire_tpu.train.state import create_train_state
 
 
+# model-geometry fields: restored from the checkpoint config unless the flag
+# is explicitly passed on the command line (sentinel-default argparse — an
+# explicit flag equal to the dataclass default still wins, ADVICE r1)
+_GEOMETRY_FIELDS = ("d_dim", "latent_size", "embedding_size", "rnn_size",
+                    "num_layers", "channel_multiplier", "scene_grid",
+                    "scene_channels", "use_ioc", "use_scf", "use_social",
+                    "num_refine", "vel_scale")  # vel_scale shapes the forward
+#                      pass — restoring without it would silently rescale
+#                      every residual
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_flags(parser)
+    parser.set_defaults(**{f: None for f in _GEOMETRY_FIELDS})
     parser.add_argument("--max_eval_batches", type=int, default=0,
                         help="0 = full epoch")
     parser.add_argument("--random_params", type=int, default=0,
                         help="skip checkpoint loading (smoke test)")
     parser.add_argument("--per_scene", type=int, default=0,
                         help="add a per-scene metric breakdown")
+    parser.add_argument("--horizons", type=str, default="",
+                        help="comma-separated horizon seconds, e.g. "
+                             "'1,2,3,4' — adds the DESIRE paper's SDD table "
+                             "(errors per horizon, incl. 1/5-resolution px)")
+    parser.add_argument("--calibration", type=int, default=0,
+                        help="add PIT/coverage calibration statistics of the "
+                             "gaussian heads")
     parser.add_argument("--platform", type=str, default="")
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    explicit = {f: getattr(args, f) for f in _GEOMETRY_FIELDS
+                if getattr(args, f) is not None}
+    for f in _GEOMETRY_FIELDS:  # resolve sentinels before building the config
+        setattr(args, f, explicit.get(f, getattr(DesireConfig, f)))
     cfg = config_from_args(args)
     saved_cfg = ckpt_mod.load_config(cfg.save_dir) if cfg.save_dir else None
     if saved_cfg is not None and not args.random_params:
-        # model geometry comes from the checkpoint UNLESS the flag was
-        # explicitly set on the command line (e.g. --num_refine 0 to eval
-        # the raw SGM hypotheses); data/eval flags always from CLI
-        defaults = DesireConfig()
-        for field in ("d_dim", "latent_size", "embedding_size", "rnn_size",
-                      "num_layers", "channel_multiplier", "scene_grid",
-                      "scene_channels", "use_ioc", "use_scf", "use_social",
-                      "num_refine", "vel_scale"):  # vel_scale shapes the
-            #                      forward pass — restoring without it would
-            #                      silently rescale every residual
-            if getattr(cfg, field) == getattr(defaults, field):
-                cfg = cfg.replace(**{field: getattr(saved_cfg, field)})
+        # geometry comes from the checkpoint UNLESS explicitly flagged (e.g.
+        # --num_refine 0 to eval the raw SGM hypotheses)
+        cfg = cfg.replace(**{f: getattr(saved_cfg, f)
+                             for f in _GEOMETRY_FIELDS if f not in explicit})
 
     loader = SDDLoader(cfg)
     params = init_desire(jax.random.PRNGKey(cfg.seed), cfg)
@@ -62,9 +77,12 @@ def main(argv=None):
             raise SystemExit(f"no checkpoint found in {cfg.save_dir}")
         params = got[0].params
 
+    horizons = tuple(float(h) for h in args.horizons.split(",") if h.strip())
     result = evaluate(params, cfg, loader,
                       max_batches=args.max_eval_batches or None,
-                      per_scene=bool(args.per_scene))
+                      per_scene=bool(args.per_scene),
+                      horizons=horizons or None,
+                      calibration=bool(args.calibration))
     print(json.dumps(result, sort_keys=True))
     return result
 
