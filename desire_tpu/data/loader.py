@@ -120,13 +120,20 @@ class SDDLoader:
             scale[i] = v.scale
         return Batch(xy=xy, mask=mask, ids=ids, video=video, scale=scale)
 
-    def epoch_batches(self, epoch: int, start_batch: int = 0
-                      ) -> Iterator[Batch]:
-        """Yield the batches of one epoch, resumable at any batch index."""
+    def epoch_batches(self, epoch: int, start_batch: int = 0,
+                      rows: np.ndarray | None = None) -> Iterator[Batch]:
+        """Yield the batches of one epoch, resumable at any batch index.
+
+        rows: optional indices WITHIN each global batch to materialize —
+        the multi-host data-sharding hook (every process walks the same
+        seeded permutation but assembles only its rows; see
+        parallel.mesh.local_batch_rows)."""
         perm = self._perm(epoch)
         bs = self.cfg.batch_size
         for bi in range(start_batch, self.num_batches):
             idx = perm[bi * bs:(bi + 1) * bs]
+            if rows is not None:
+                idx = idx[rows[rows < len(idx)]]
             self.state = LoaderState(epoch=epoch, batch_index=bi + 1)
             yield self._assemble(self._pairs[idx])
 

@@ -54,5 +54,20 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def local_batch_rows(sharding: NamedSharding, global_batch: int) -> np.ndarray:
+    """Global-batch row indices owned by THIS process under `sharding`.
+
+    Multi-host data feeding (SURVEY §2.4): each host materializes only its
+    rows of the logically-global batch and `jax.make_array_from_process_local_data`
+    assembles the global array — no whole-array device_put (which would
+    require every host to hold every row). Rows come back ascending, the
+    order make_array_from_process_local_data expects process-local data in.
+    """
+    idx_map = sharding.addressable_devices_indices_map((global_batch,))
+    rows = np.unique(np.concatenate(
+        [np.arange(*sl[0].indices(global_batch)) for sl in idx_map.values()]))
+    return rows.astype(np.int64)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -22,6 +22,13 @@ from desire_tpu.data.loader import LoaderState
 from desire_tpu.train.state import TrainState
 
 
+def _replicated_to_host(x):
+    """Materialize a (possibly multi-host-replicated) array on this host."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_shards[0].data)
+    return x
+
+
 class CheckpointManager:
     def __init__(self, directory: str, keep: int = 3):
         self.directory = os.path.abspath(directory)
@@ -34,6 +41,14 @@ class CheckpointManager:
 
     def save(self, state: TrainState, loader_state: LoaderState,
              cfg: DesireConfig, wait: bool = False) -> None:
+        if jax.process_count() > 1:
+            # multi-host: train state is replicated (trainer out_shardings),
+            # so process 0 alone writes; other hosts' data is identical.
+            # Replicated-but-not-fully-addressable arrays are materialized
+            # from a local shard (every device holds the full array).
+            if jax.process_index() != 0:
+                return
+            state = jax.tree_util.tree_map(_replicated_to_host, state)
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,

@@ -68,15 +68,30 @@ def make_eval_forward(cfg: DesireConfig, k_samples=None, mesh=None):
     return jax.jit(fwd, in_shardings=(rep, bsh, bsh, bsh, rep))
 
 
-def batch_to_device(batch, sharding=None):
-    xy = jnp.asarray(batch.xy)
-    mask = jnp.asarray(batch.mask)
-    ids = jnp.asarray(batch.ids, dtype=jnp.float32)
-    if sharding is not None:
-        xy = jax.device_put(xy, sharding)
-        mask = jax.device_put(mask, sharding)
-        ids = jax.device_put(ids, sharding)
-    return xy, mask, ids
+def batch_to_device(batch, sharding=None, global_batch: int | None = None):
+    """Host batch -> (sharded) device arrays.
+
+    Single-process: plain device_put with the sharding. Multi-process: the
+    batch holds only THIS process's rows (loader sharded via
+    mesh.local_batch_rows) and jax.make_array_from_process_local_data
+    assembles the logically-global array across hosts — a whole-array
+    device_put would require every host to hold (and agree on) every row.
+    """
+    xy = np.asarray(batch.xy, dtype=np.float32)
+    mask = np.asarray(batch.mask, dtype=np.float32)
+    ids = np.asarray(batch.ids, dtype=np.float32)
+    if sharding is None:
+        return jnp.asarray(xy), jnp.asarray(mask), jnp.asarray(ids)
+    if jax.process_count() == 1:
+        return (jax.device_put(jnp.asarray(xy), sharding),
+                jax.device_put(jnp.asarray(mask), sharding),
+                jax.device_put(jnp.asarray(ids), sharding))
+    gb = global_batch if global_batch is not None else (
+        xy.shape[0] * jax.process_count())
+    return tuple(
+        jax.make_array_from_process_local_data(sharding, a,
+                                               (gb,) + a.shape[1:])
+        for a in (xy, mask, ids))
 
 
 class NonFiniteLossError(RuntimeError):
@@ -91,13 +106,19 @@ def run_epoch(state: TrainState, loader, epoch: int, step_fn,
               max_bad_steps: int = 3):
     """Drive one epoch; returns (state, mean_loss)."""
     sharding = mesh_mod.batch_sharding(mesh) if mesh is not None else None
+    global_batch = loader.cfg.batch_size
+    rows = None
+    if sharding is not None and jax.process_count() > 1:
+        # multi-host: this process materializes only its rows of each batch
+        rows = mesh_mod.local_batch_rows(sharding, global_batch)
     losses_acc, t0 = [], time.time()
     bad = 0
-    for bi, batch in enumerate(loader.epoch_batches(epoch, start_batch),
+    for bi, batch in enumerate(loader.epoch_batches(epoch, start_batch,
+                                                    rows=rows),
                                start=start_batch):
         if max_batches is not None and bi - start_batch >= max_batches:
             break
-        xy, mask, ids = batch_to_device(batch, sharding)
+        xy, mask, ids = batch_to_device(batch, sharding, global_batch)
         state, metrics = step_fn(state, xy, mask, ids)
         if bi % log_every == 0:
             # finiteness check rides the logging cadence — a per-step

@@ -13,11 +13,12 @@ import time
 
 
 class MetricLogger:
-    def __init__(self, path: str | None = None, also_stdout: bool = True):
+    def __init__(self, path: str | None = None, also_stdout: bool = True,
+                 quiet: bool = False):
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._f = open(path, "a", buffering=1) if path else None
-        self._stdout = also_stdout
+        self._stdout = also_stdout and not quiet  # quiet: non-main hosts
         self._t0 = time.time()
 
     def log(self, record: dict) -> None:

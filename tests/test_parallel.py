@@ -76,6 +76,42 @@ def test_sharded_step_matches_single_device():
                                    rtol=2e-3, atol=1e-3)
 
 
+def test_sharded_grads_match_single_device_tight():
+    """Raw grads (pre-Adam) under dp+k sharding vs one device, at tight
+    tolerance — the discriminating collective-correctness check (the
+    post-Adam comparison above is loosened by Adam's normalized update)."""
+    from desire_tpu.models import desire
+
+    cfg = small_cfg()
+    xy, mask, ids = _toy(cfg)
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(7)
+
+    def loss_fn(p, xy, mask, ids):
+        return desire.desire_loss(p, cfg, xy, mask, ids, key=key, step=0)[0]
+
+    g1 = jax.jit(jax.grad(loss_fn))(params, xy, mask, ids)
+
+    mesh = mesh_mod.make_mesh(4, 2)
+    bsh = mesh_mod.batch_sharding(mesh)
+    rep = mesh_mod.replicated(mesh)
+    g2 = jax.jit(jax.grad(loss_fn),
+                 in_shardings=(rep, bsh, bsh, bsh),
+                 out_shardings=rep)(
+        jax.device_put(params, rep), jax.device_put(xy, bsh),
+        jax.device_put(mask, bsh), jax.device_put(ids, bsh))
+
+    flat1, tree1 = jax.tree_util.tree_flatten(g1)
+    flat2, tree2 = jax.tree_util.tree_flatten(g2)
+    assert tree1 == tree2
+    for a, b in zip(flat1, flat2):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-8)
+        # atol floor 1e-7: near-zero leaves (e.g. dead gate biases) differ by
+        # fp reduction-order noise that is meaningless in relative terms
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=max(1e-5 * scale, 1e-7))
+
+
 def test_sharded_batch_is_actually_distributed():
     mesh = mesh_mod.make_mesh(8, 1)
     cfg = small_cfg()

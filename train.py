@@ -44,9 +44,18 @@ def main(argv=None):
     parser.add_argument("--profile_dir", type=str, default="",
                         help="capture a jax.profiler trace of epoch 0 into "
                              "this dir (view in Perfetto/TensorBoard)")
+    parser.add_argument("--coordinator", type=str, default="",
+                        help="multi-host: coordinator host:port "
+                             "(jax.distributed); also set --num_processes "
+                             "and --process_id")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.coordinator:
+        mesh_mod.init_multihost(args.coordinator, args.num_processes,
+                                args.process_id)
     cfg = config_from_args(args)
     train(cfg, resume=bool(args.resume), eval_every=args.eval_every,
           max_eval_batches=args.max_eval_batches,
@@ -57,8 +66,12 @@ def main(argv=None):
 def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
           max_eval_batches: int = 16, max_train_batches: int | None = None,
           profile_dir: str | None = None):
+    # multi-host: every process runs the data/step loop (collectives need
+    # all of them); only process 0 logs, evaluates, and checkpoints
+    is_main = jax.process_index() == 0
     log = MetricLogger(os.path.join(cfg.save_dir, "metrics.jsonl")
-                       if cfg.save_dir else None)
+                       if (cfg.save_dir and is_main) else None,
+                       quiet=not is_main)
     loader = SDDLoader(cfg)
     log.log({"event": "data", "videos": len(loader.videos),
              "windows": loader.num_windows, "batches": loader.num_batches})
@@ -114,7 +127,7 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
         log.log({"event": "epoch", "epoch": epoch, "mean_loss": mean_loss})
         if mgr is not None:
             mgr.save(state, loader.state, cfg)
-        if eval_every and (epoch + 1) % eval_every == 0:
+        if eval_every and (epoch + 1) % eval_every == 0 and is_main:
             ev = evaluate(state.params, cfg, eval_loader,
                           max_batches=max_eval_batches)
             log.log(dict(ev, event="eval", epoch=epoch,
