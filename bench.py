@@ -5,7 +5,7 @@ Runs the flagship full-DESIRE inference path (SGM prior sampling -> SCF ->
 IOC 4-iteration rank/refine) on the default jax backend (the real TPU chip
 under the driver; CPU elsewhere) and prints ONE JSON line:
 
-  {"metric": ..., "value": N, "unit": "traj/s", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "traj/s", "vs_baseline": R, ...}
 
 vs_baseline compares against the TF1-CPU-equivalent throughput recorded in
 bench_baseline.json (a jitted batch-1 per-sequence CPU loop standing in for
@@ -15,14 +15,29 @@ reference itself cannot run, SURVEY §6; regenerate with
 
 A trajectory = one K-lane hypothesis for one agent slot: value =
 B * A * K / sec. Shapes follow the paper protocol (8 obs / 12 pred steps).
+
+Extra keys on the same line (round-2 additions): training-step throughput,
+and MFU/roofline utilisation from XLA's compiled cost analysis — model FLOPs
+vs the chip's matmul peak AND bytes-accessed vs HBM bandwidth, because a
+model this small (params fit in VMEM; activations dominated by (B*A*K, d)
+GRU chains) is expected to be bandwidth-, not FLOP-, limited.
+
+``python bench.py --breakdown`` prints an additional stage-by-stage timing
+table (SGM / +SCF / +IOC, and K/A sweeps) to stderr for the roofline story.
 """
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Peak specs of the bench chip (TPU v5e; override via env for other chips):
+# 197 TFLOP/s bf16 matmul peak, 819 GB/s HBM bandwidth.
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+PEAK_HBM_BPS = float(os.environ.get("BENCH_PEAK_HBM_BPS", 819e9))
 
 
 def flagship_cfg(K=20):
@@ -42,32 +57,131 @@ def make_batch(cfg, key=0):
     return xy, mask, ids
 
 
+def _cost_analysis(compiled):
+    """XLA cost analysis -> (flops, bytes_accessed), best-effort."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _time_compiled(run, iters, warmup):
+    for _ in range(warmup):
+        out = run()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def bench(cfg=None, iters=10, warmup=3):
+    """Inference path. Returns (traj_per_sec, dt, mfu, hbm_frac)."""
     from desire_tpu.models.desire import desire_forward, init_desire
     cfg = cfg or flagship_cfg()
     params = init_desire(jax.random.PRNGKey(0), cfg)
     xy, mask, ids = make_batch(cfg)
 
-    @jax.jit
     def fwd(params, xy, mask, ids, key):
         out = desire_forward(params, cfg, xy, mask, ids, key=key, train=False)
         return out["refined_traj"], out["scores"]
 
     keys = [jax.random.PRNGKey(i) for i in range(warmup + iters)]
-    for i in range(warmup):
-        jax.block_until_ready(fwd(params, xy, mask, ids, keys[i]))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fwd(params, xy, mask, ids, keys[warmup + i])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    compiled = jax.jit(fwd).lower(params, xy, mask, ids, keys[0]).compile()
+    flops, nbytes = _cost_analysis(compiled)
+
+    it = iter(list(keys) * 2)
+    dt = _time_compiled(lambda: compiled(params, xy, mask, ids, next(it)),
+                        iters, warmup)
     traj_per_sec = cfg.batch_size * cfg.max_num_obj * cfg.num_samples / dt
-    return traj_per_sec, dt
+    mfu = flops / dt / PEAK_FLOPS if flops else None
+    hbm = nbytes / dt / PEAK_HBM_BPS if nbytes else None
+    return traj_per_sec, dt, mfu, hbm
+
+
+def bench_train(cfg=None, iters=10, warmup=3):
+    """Full training step (fwd+bwd+Adam). Returns (steps/s, dt, mfu, hbm)."""
+    from desire_tpu.models.desire import init_desire
+    from desire_tpu.train import trainer
+    from desire_tpu.train.state import create_train_state
+    cfg = cfg or flagship_cfg(K=12)   # the training recipe's K
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    state = create_train_state(cfg, params, steps_per_epoch=190)
+    xy, mask, ids = make_batch(cfg)
+    step_fn = trainer.make_train_step(cfg, 190)
+
+    lowered = jax.jit(
+        lambda s, xy, mask, ids: step_fn(s, xy, mask, ids)).lower(
+        state, xy, mask, ids)
+    flops, nbytes = _cost_analysis(lowered.compile())
+
+    # step_fn donates state; thread it through the timing loop
+    holder = {"state": state}
+
+    def run():
+        holder["state"], metrics = step_fn(holder["state"], xy, mask, ids)
+        return metrics["loss"]
+
+    dt = _time_compiled(run, iters, warmup)
+    mfu = flops / dt / PEAK_FLOPS if flops else None
+    hbm = nbytes / dt / PEAK_HBM_BPS if nbytes else None
+    return 1.0 / dt, dt, mfu, hbm
+
+
+def breakdown(iters=10, warmup=3):
+    """Stage/shape sweep for the roofline story (stderr, not the driver line).
+
+    Which stage eats the time: SGM alone, SGM+SCF, full (+IOC x4)? And how
+    does the SGM scan region scale with K (VMEM-resident lanes) vs A?
+    """
+    from desire_tpu.models.desire import desire_forward, init_desire
+
+    rows = []
+    variants = [
+        ("sgm_only", dict(use_ioc=False, use_scf=False)),
+        ("sgm_scf", dict(use_ioc=True, use_scf=True, num_refine=1)),
+        ("full_refine4", dict()),
+        ("full_K50", dict(num_samples=50)),
+        ("full_K12_train_shapes", dict(num_samples=12)),
+    ]
+    for name, kw in variants:
+        cfg = flagship_cfg().replace(**kw)
+        params = init_desire(jax.random.PRNGKey(0), cfg)
+        xy, mask, ids = make_batch(cfg)
+
+        def fwd(params, xy, mask, ids, key, cfg=cfg):
+            out = desire_forward(params, cfg, xy, mask, ids, key=key,
+                                 train=False)
+            return out["refined_traj"]
+
+        key = jax.random.PRNGKey(0)
+        compiled = jax.jit(fwd).lower(params, xy, mask, ids, key).compile()
+        flops, nbytes = _cost_analysis(compiled)
+        dt = _time_compiled(lambda: compiled(params, xy, mask, ids, key),
+                            iters, warmup)
+        rows.append({
+            "variant": name, "ms": round(dt * 1e3, 2),
+            "traj_per_sec": round(
+                cfg.batch_size * cfg.max_num_obj * cfg.num_samples / dt),
+            "gflops": round(flops / 1e9, 2),
+            "gbytes": round(nbytes / 1e9, 3),
+            "intensity_flops_per_byte": round(flops / max(nbytes, 1), 1),
+            "mfu": round(flops / dt / PEAK_FLOPS, 4),
+            "hbm_frac": round(nbytes / dt / PEAK_HBM_BPS, 3),
+        })
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    return rows
 
 
 def main():
     cfg = flagship_cfg()
-    traj_per_sec, dt = bench(cfg)
+    traj_per_sec, dt, mfu, hbm = bench(cfg)
+    steps_per_sec, train_dt, train_mfu, train_hbm = bench_train()
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
@@ -83,8 +197,18 @@ def main():
         "value": round(traj_per_sec, 1),
         "unit": "traj/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "fwd_ms": round(dt * 1e3, 2),
+        "train_steps_per_sec_K12": round(steps_per_sec, 2),
+        "train_step_ms": round(train_dt * 1e3, 2),
+        "mfu_fwd": round(mfu, 4) if mfu is not None else None,
+        "mfu_train": round(train_mfu, 4) if train_mfu is not None else None,
+        "hbm_frac_fwd": round(hbm, 3) if hbm is not None else None,
+        "hbm_frac_train": round(train_hbm, 3) if train_hbm is not None else None,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--breakdown" in sys.argv:
+        breakdown()
+    else:
+        main()

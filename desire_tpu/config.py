@@ -96,10 +96,15 @@ class DesireConfig:
     #                              'mean' = every lane to GT (paper CVAE)
     kld_free_bits: float = 0.1   # per-dim KL floor (0 = off); keeps the
     #                              latent informative (anti posterior-collapse)
-    ioc_temp: float = 0.05       # IOC CE target-distribution temperature, in
-    #                              normalized scene units (distances between
-    #                              hypotheses are ~0.05-0.3; temp 1.0 makes
-    #                              the ranking target uniform -> no signal)
+    ioc_temp: float = 0.5        # IOC CE target-distribution temperature, in
+    #                              units of the per-agent lane-distance SPREAD
+    #                              (distances are z-scored across the K lanes
+    #                              before the softmax — scale-free). Raw-unit
+    #                              temperatures were a trap: 0.05 absolute
+    #                              made the target uniform once lane spreads
+    #                              shrank below ~0.05 units, and the train CE
+    #                              pinned at ln(K) with top-1 at chance
+    #                              (measured, round 2, 30 epochs)
 
     # ---- TPU execution ----
     compute_dtype: str = "bfloat16"  # activations dtype; params/optimizer stay fp32

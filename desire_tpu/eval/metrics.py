@@ -93,6 +93,36 @@ def horizon_ade_fde(pred, gt, step_mask, agent_mask, horizon_steps,
     return min_ade, min_fde, jnp.sum(valid)
 
 
+def ranking_quality(scores, pred, gt, step_mask, agent_mask):
+    """IOC ranking diagnostics (is top-1 selection better than chance?).
+
+    scores (B,A,K); pred (B,A,K,T,2); gt (B,A,T,2); step_mask (B,A,T);
+    agent_mask (B,A). Returns (top1_pct, corr, n):
+      top1_pct — mean percentile rank (0 = picked the best lane, 1 = worst)
+                 of the argmax-score lane when lanes are ordered by ADE;
+                 chance = 0.5 - 0.5/K.
+      corr     — masked-mean per-agent Pearson correlation between scores
+                 and -ADE across lanes (1 = perfect ranking signal).
+    """
+    d = jnp.linalg.norm(pred - gt[..., None, :, :], axis=-1)   # (B,A,K,T)
+    m = step_mask[..., None, :]
+    ade = jnp.sum(d * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1e-8)
+    k = ade.shape[-1]
+    pick = jnp.argmax(scores, axis=-1)                          # (B, A)
+    picked_ade = jnp.take_along_axis(ade, pick[..., None], -1)[..., 0]
+    # percentile = fraction of lanes strictly better than the picked one
+    better = jnp.sum((ade < picked_ade[..., None]).astype(jnp.float32), -1)
+    top1_pct = better / max(k - 1, 1)
+    zs = (scores - scores.mean(-1, keepdims=True)) / (
+        scores.std(-1, keepdims=True) + 1e-8)
+    zd = (ade - ade.mean(-1, keepdims=True)) / (ade.std(-1, keepdims=True)
+                                                + 1e-8)
+    corr = jnp.mean(-zs * zd, axis=-1)                          # (B, A)
+    valid = agent_mask * (jnp.sum(step_mask, axis=-1) > 0)
+    return (losses.masked_mean(top1_pct, valid),
+            losses.masked_mean(corr, valid), jnp.sum(valid))
+
+
 # ---------------------------------------------------------------------------
 # Distribution calibration (north star: "match the TF1 reference in
 # distribution" — the reference specifies bivariate-Gaussian heads, C14;

@@ -110,6 +110,10 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
                                live, scale=scale)
         add("__sgm__", float(sa), float(sf), float(sa),
             float(jnp.sum(live)))
+        # ranking quality: percentile of the chosen lane + score/-ADE corr
+        rp, rc, rn = M.ranking_quality(out["scores"].astype(jnp.float32),
+                                       traj, *args, live)
+        add("__rank__", float(rp), float(rc), 0.0, float(rn))
         for h in (horizons or ()):
             steps = h * hz
             if steps > traj.shape[-2] + 1e-6:
@@ -144,9 +148,14 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
     sgm = summarize(acc.get("__sgm__", [0.0] * 4))
     result["sgm_minADE_px"] = sgm["minADE_px"]
     result["sgm_minFDE_px"] = sgm["minFDE_px"]
+    rank = acc.get("__rank__")
+    if rank and rank[3] > 0:
+        # chance top1 percentile = 0.5 - 0.5/K; corr 0 = no ranking signal
+        result["rank_top1_pctile"] = rank[0] / rank[3]
+        result["rank_score_corr"] = rank[1] / rank[3]
     if per_scene:
         result["per_scene"] = {k: summarize(v) for k, v in acc.items()
-                               if k not in ("__all__", "__sgm__")}
+                               if k not in ("__all__", "__sgm__", "__rank__")}
     if horizons:
         result["horizons"] = {}
         for h, d in hor_acc.items():

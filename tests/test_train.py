@@ -192,6 +192,66 @@ def test_min_ade_fde_respects_step_mask():
     assert float(ade) == 0.0 and float(fde) == 0.0
 
 
+def test_horizon_ade_fde_closed_form():
+    """Fractional-horizon metrics: FDE at 1 s (= step 2.5 at 2.5 Hz) is the
+    lerp of steps 2 and 3; ADE@1s averages the first floor(2.5)=2 steps."""
+    t = 4
+    gt = jnp.zeros((1, 1, t, 2))
+    # one lane, constant x-error per step: [1, 2, 3, 4]
+    pred = jnp.zeros((1, 1, 1, t, 2))
+    pred = pred.at[0, 0, 0, :, 0].set(jnp.arange(1.0, t + 1))
+    sm, am = jnp.ones((1, 1, t)), jnp.ones((1, 1))
+    ade, fde, n = M.horizon_ade_fde(pred, gt, sm, am, horizon_steps=2.5)
+    np.testing.assert_allclose(float(ade), (1 + 2) / 2, rtol=1e-6)
+    np.testing.assert_allclose(float(fde), 2.5, rtol=1e-6)   # lerp(2, 3, .5)
+    assert float(n) == 1
+    # integer horizon degenerates to the plain step metric
+    ade2, fde2, _ = M.horizon_ade_fde(pred, gt, sm, am, horizon_steps=3)
+    np.testing.assert_allclose(float(fde2), 3.0, rtol=1e-6)
+    # a masked step inside the horizon excludes the agent entirely
+    sm_gap = jnp.array([[[1, 0, 1, 1]]], jnp.float32)
+    _, _, n_gap = M.horizon_ade_fde(pred, gt, sm_gap, am, horizon_steps=2.5)
+    assert float(n_gap) == 0
+
+
+def test_pit_calibration_statistics():
+    """PIT/coverage (north-star distribution-match evidence): ground truth
+    drawn FROM the predicted Gaussians must be calibrated; an overconfident
+    model (sigmas shrunk 5x) must under-cover."""
+    rng = np.random.default_rng(0)
+    b, a, k, t = 1, 1, 4, 4000
+    mu = rng.normal(0, 1, (b, a, k, t, 2)).astype(np.float32)
+    sigma = 0.7
+    raw5 = np.concatenate([
+        mu, np.full((b, a, k, t, 2), np.log(sigma), np.float32),
+        np.zeros((b, a, k, t, 1), np.float32)], axis=-1)
+    # draw gt from the uniform lane mixture
+    lane = rng.integers(0, k, (b, a, t))
+    picked = np.take_along_axis(mu, lane[..., None, :, None], axis=2)[:, :, 0]
+    gt = picked + rng.normal(0, sigma, picked.shape).astype(np.float32)
+    sm, am = jnp.ones((b, a, t)), jnp.ones((b, a))
+
+    u, w = M.pit_values(jnp.asarray(raw5), jnp.asarray(gt), sm, am)
+    cov = M.coverage(u, w)
+    assert abs(cov[0.5] - 0.5) < 0.04, cov
+    assert abs(cov[0.9] - 0.9) < 0.04, cov
+    hist = np.asarray(M.pit_histogram(u, w, bins=10))
+    p = hist / hist.sum()
+    assert np.max(np.abs(np.cumsum(p) - np.linspace(0.1, 1.0, 10))) < 0.05
+
+    # overconfident: same means, 5x smaller claimed sigma -> coverage drops
+    raw5_oc = raw5.copy()
+    raw5_oc[..., 2:4] = np.log(sigma / 5.0)
+    u_oc, _ = M.pit_values(jnp.asarray(raw5_oc), jnp.asarray(gt), sm, am)
+    cov_oc = M.coverage(u_oc, w)
+    assert cov_oc[0.9] < 0.75, cov_oc
+
+    # masked steps carry zero weight
+    sm0 = sm.at[..., 0].set(0.0)
+    _, w0 = M.pit_values(jnp.asarray(raw5), jnp.asarray(gt), sm0, am)
+    assert float(jnp.sum(w0)) == b * a * (t - 1)
+
+
 def test_best_of_k_by_score():
     pred = jnp.stack([jnp.zeros((1, 1, 3, 2)), jnp.ones((1, 1, 3, 2))],
                      axis=2)  # (1,1,2,3,2)
