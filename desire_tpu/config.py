@@ -90,6 +90,18 @@ class DesireConfig:
     #                              decoder velocities are tanh-squashed to
     #                              +-vel_scale, keeping hypotheses physical
     #                              even for out-of-distribution prior draws
+    speed_norm: bool = False     # speed-adaptive residual bound: replaces the
+    #                              fixed vel_scale bound with
+    #                              vel_gain*observed_speed + vel_floor per
+    #                              agent, so the same head weights express
+    #                              walker-scale (~1.5 px/step) and bike-scale
+    #                              (~25 px/step) corrections. Motivated by the
+    #                              round-2 speed-class analysis: fast agents
+    #                              (>=20 px/step) carried 4-5x the error of
+    #                              slow ones on the bike-heavy scenes
+    vel_gain: float = 2.0        # bound = vel_gain * speed + vel_floor ...
+    vel_floor: float = 0.004     # ... (scene units/step); floor lets near-
+    #                              stationary agents still accelerate
     recon_agg: str = "min"       # NLL aggregation over K lanes: 'min' =
     #                              best-of-K / variety loss (optimizes the
     #                              minADE metric and resists lane collapse);

@@ -42,14 +42,15 @@ def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
         return {"traj": traj, "scores": scores, "best": best,
                 "sgm_traj": out["sgm_traj"], "raw5": out["raw5"],
                 "fut_mask": out["fut_mask"], "live": out["live"],
-                "fut_xy": out["fut_xy"]}
+                "fut_xy": out["fut_xy"], "obs_xy": out["obs_xy"],
+                "obs_mask": out["obs_mask"]}
     return jax.jit(fn)
 
 
 def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
              key=None, max_batches=None, epoch: int = 0,
              per_scene: bool = False, horizons=None,
-             calibration: bool = False) -> dict:
+             calibration: bool = False, speed_bins=None) -> dict:
     """minADE/minFDE (pixels) over a loader's epoch stream.
 
     per_scene=True adds a per-scene breakdown keyed by scene name.
@@ -57,7 +58,10 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
     paper's SDD table protocol: errors at each horizon, both full-resolution
     pixels and the paper's 1/5-resolution pixels (BASELINE.md:26-29).
     calibration=True adds PIT/coverage statistics of the SGM gaussian heads
-    (north-star "match in distribution" evidence)."""
+    (north-star "match in distribution" evidence).
+    speed_bins: optional ascending px/step boundaries (e.g. (2, 8, 20)) —
+    adds an error breakdown by observed-speed class (slow walkers vs bikes;
+    the diagnostic axis for the bike-heavy deathCircle/little scenes)."""
     sampler = make_sampler(cfg, k_samples=k_samples)
     key = key if key is not None else jax.random.PRNGKey(cfg.seed + 1)
     acc: dict = {}
@@ -114,6 +118,25 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
         rp, rc, rn = M.ranking_quality(out["scores"].astype(jnp.float32),
                                        traj, *args, live)
         add("__rank__", float(rp), float(rc), 0.0, float(rn))
+        if speed_bins:
+            # observed speed (px/step at the protocol rate) per agent
+            om = out["obs_mask"].astype(jnp.float32)
+            both = om[..., 1:] * om[..., :-1]
+            dxy = jnp.diff(out["obs_xy"].astype(jnp.float32), axis=2)
+            sp = (jnp.sum(jnp.linalg.norm(dxy, axis=-1) * both, -1)
+                  / jnp.maximum(jnp.sum(both, -1), 1e-6))
+            sp = sp * scale[:, None]                        # (B, A) px/step
+            edges = [0.0] + list(speed_bins) + [float("inf")]
+            for lo, hi in zip(edges[:-1], edges[1:]):
+                sel = jnp.logical_and(sp >= lo, sp < hi).astype(jnp.float32)
+                live_s = live * sel
+                n_s = float(jnp.sum(live_s))
+                if n_s == 0:
+                    continue
+                a_s, f_s = M.min_ade_fde(traj, *args, live_s, scale=scale)
+                b_s, _ = M.min_ade_fde(best, *args, live_s, scale=scale)
+                tag = f"speed[{lo:g},{hi:g})px/step"
+                add(tag, float(a_s), float(f_s), float(b_s), n_s)
         for h in (horizons or ()):
             steps = h * hz
             if steps > traj.shape[-2] + 1e-6:
@@ -153,9 +176,14 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
         # chance top1 percentile = 0.5 - 0.5/K; corr 0 = no ranking signal
         result["rank_top1_pctile"] = rank[0] / rank[3]
         result["rank_score_corr"] = rank[1] / rank[3]
+    if speed_bins:
+        result["speed_classes"] = {k: summarize(v) for k, v in acc.items()
+                                   if k.startswith("speed[")}
     if per_scene:
-        result["per_scene"] = {k: summarize(v) for k, v in acc.items()
-                               if k not in ("__all__", "__sgm__", "__rank__")}
+        result["per_scene"] = {
+            k: summarize(v) for k, v in acc.items()
+            if k not in ("__all__", "__sgm__", "__rank__")
+            and not k.startswith("speed[")}
     if horizons:
         result["horizons"] = {}
         for h, d in hor_acc.items():

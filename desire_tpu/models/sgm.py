@@ -201,7 +201,8 @@ def decode_hypotheses(p, cfg: DesireConfig, h_seed, h_init, pred_len):
     return jnp.swapaxes(raw, 0, 1), jnp.swapaxes(hs, 0, 1)
 
 
-def compose_positions(raw, origin, vel_scale=0.25, cv_vel=None):
+def compose_positions(raw, origin, vel_scale=0.25, cv_vel=None,
+                      vel_bound=None):
     """Velocity-residuals-around-constant-velocity -> absolute position
     Gaussians.
 
@@ -210,7 +211,12 @@ def compose_positions(raw, origin, vel_scale=0.25, cv_vel=None):
     velocity. The mean trajectory is the constant-velocity extrapolation
     plus a cumulative sum of tanh-bounded learned corrections:
 
-        mu_t = origin + cv_vel * t + cumsum(tanh(dv) * vel_scale)
+        mu_t = origin + cv_vel * t + cumsum(tanh(dv) * bound)
+
+    where bound = vel_scale (fixed, scene units/step), or the per-agent
+    `vel_bound` (..., 1) when given (speed_norm: vel_gain*speed + vel_floor —
+    the same tanh output then expresses walker- and bike-scale corrections
+    with the same head weights).
 
     Rationale (measured): a constant-velocity baseline scores ADE 33 px on
     SDD @4.8 s — predicting raw velocities forces the network to *relearn*
@@ -219,12 +225,23 @@ def compose_positions(raw, origin, vel_scale=0.25, cv_vel=None):
     prior that keeps out-of-distribution prior-z draws in-scene. Returns raw5
     with absolute means in channels 0:2.
     """
-    vel = jnp.tanh(raw[..., 0:2]) * vel_scale
+    bound = vel_scale if vel_bound is None else vel_bound[..., None, :]
+    vel = jnp.tanh(raw[..., 0:2]) * bound
     mu = origin[..., None, :] + jnp.cumsum(vel, axis=-2)
     if cv_vel is not None:
         t = jnp.arange(1, raw.shape[-2] + 1, dtype=mu.dtype)
         mu = mu + cv_vel[..., None, :] * t[:, None]
     return jnp.concatenate([mu, raw[..., 2:]], axis=-1)
+
+
+def observed_speed(rel_obs, obs_mask):
+    """Masked mean per-step speed (magnitude) over the observed window.
+    rel_obs (N, To, 2), obs_mask (N, To) -> (N, 1). Uses step-speed
+    magnitudes, not |mean velocity| — a turning bike keeps its speed."""
+    both = obs_mask[:, 1:] * obs_mask[:, :-1]
+    d = jnp.linalg.norm(jnp.diff(rel_obs, axis=1), axis=-1) * both
+    steps = jnp.maximum(jnp.sum(both, axis=1), 1e-6)
+    return (jnp.sum(d, axis=1) / steps)[..., None]
 
 
 def mean_observed_velocity(rel_obs, obs_mask):
@@ -303,10 +320,17 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     raw = shard_hint(raw.reshape(n, K, pred_len, 5), "data", "k")
     dec_h = shard_hint(dec_h.reshape(n, K, pred_len, -1), "data", "k")
     cv_vel = mean_observed_velocity(rel_obs, obs_mask)    # (N, 2) f32
+    vel_bound = None
+    if cfg.speed_norm:
+        # speed-adaptive residual bound (data-derived, no gradient): the
+        # head's tanh output scales with how fast this agent actually moves
+        s = jax.lax.stop_gradient(observed_speed(rel_obs, obs_mask))
+        vel_bound = (cfg.vel_gain * s + cfg.vel_floor)[:, None]  # (N,1,1)
     # position composition in f32 (see dtype note above); the decoder's raw
     # head outputs are the only compute_dtype input here
     raw5 = compose_positions(raw.astype(jnp.float32), origin[:, None, :],
-                             cfg.vel_scale, cv_vel=cv_vel[:, None, :])
+                             cfg.vel_scale, cv_vel=cv_vel[:, None, :],
+                             vel_bound=vel_bound)
 
     return {
         "raw5": raw5,                 # (N, K, Tf, 5) absolute-position gaussians

@@ -28,8 +28,9 @@ from desire_tpu.train.state import create_train_state
 _GEOMETRY_FIELDS = ("d_dim", "latent_size", "embedding_size", "rnn_size",
                     "num_layers", "channel_multiplier", "scene_grid",
                     "scene_channels", "use_ioc", "use_scf", "use_social",
-                    "num_refine", "vel_scale")  # vel_scale shapes the forward
-#                      pass — restoring without it would silently rescale
+                    "num_refine", "vel_scale", "speed_norm", "vel_gain",
+                    "vel_floor")  # vel_scale/speed_norm/... shape the forward
+#                      pass — restoring without them would silently rescale
 #                      every residual
 
 
@@ -50,6 +51,10 @@ def main(argv=None):
     parser.add_argument("--calibration", type=int, default=0,
                         help="add PIT/coverage calibration statistics of the "
                              "gaussian heads")
+    parser.add_argument("--speed_bins", type=str, default="",
+                        help="comma-separated px/step boundaries (e.g. "
+                             "'2,8,20') — adds an observed-speed-class error "
+                             "breakdown (bikes vs walkers)")
     parser.add_argument("--platform", type=str, default="")
     args = parser.parse_args(argv)
     if args.platform:
@@ -78,11 +83,14 @@ def main(argv=None):
         params = got[0].params
 
     horizons = tuple(float(h) for h in args.horizons.split(",") if h.strip())
+    speed_bins = tuple(float(s) for s in args.speed_bins.split(",")
+                       if s.strip())
     result = evaluate(params, cfg, loader,
                       max_batches=args.max_eval_batches or None,
                       per_scene=bool(args.per_scene),
                       horizons=horizons or None,
-                      calibration=bool(args.calibration))
+                      calibration=bool(args.calibration),
+                      speed_bins=speed_bins or None)
     print(json.dumps(result, sort_keys=True))
     return result
 

@@ -25,12 +25,19 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     add_config_flags(parser)
     parser.add_argument("--max_eval_batches", type=int, default=0)
+    parser.add_argument("--speed_bins", type=str, default="",
+                        help="comma-separated px/step boundaries — adds an "
+                             "observed-speed-class breakdown (matches "
+                             "evaluate.py --speed_bins)")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     loader = SDDLoader(cfg)
+    bins = [float(s) for s in args.speed_bins.split(",") if s.strip()]
+    edges = [0.0] + bins + [np.inf]
 
     to = cfg.obs_len
     sums = np.zeros(3)  # ade, fde, n
+    by_speed = {}
     for bi, b in enumerate(loader.epoch_batches(0)):
         if args.max_eval_batches and bi >= args.max_eval_batches:
             break
@@ -57,10 +64,24 @@ def main(argv=None):
         valid = live * (fut_mask.sum(1) > 0)
         sums += [float((ade * valid).sum()), float((fde * valid).sum()),
                  float(valid.sum())]
+        if bins:
+            speed = np.linalg.norm(vel, axis=-1) * b.scale[:, None]  # px/step
+            for lo, hi in zip(edges[:-1], edges[1:]):
+                sel = valid * (speed >= lo) * (speed < hi)
+                tag = f"speed[{lo:g},{hi:g})px/step"
+                d3 = by_speed.setdefault(tag, np.zeros(3))
+                d3 += [float((ade * sel).sum()), float((fde * sel).sum()),
+                       float(sel.sum())]
     n = max(sums[2], 1e-8)
-    print(json.dumps({"baseline": "constant_velocity",
-                      "ADE_px": sums[0] / n, "FDE_px": sums[1] / n,
-                      "num_agents": sums[2]}))
+    out = {"baseline": "constant_velocity",
+           "ADE_px": sums[0] / n, "FDE_px": sums[1] / n,
+           "num_agents": sums[2]}
+    if bins:
+        out["speed_classes"] = {
+            t: {"ADE_px": v[0] / max(v[2], 1e-8),
+                "FDE_px": v[1] / max(v[2], 1e-8), "num_agents": v[2]}
+            for t, v in sorted(by_speed.items())}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -129,6 +129,43 @@ def test_sgm_inference_mode_needs_no_future():
     assert out["traj_mu"].shape == (n, cfg.num_samples, cfg.pred_len, 2)
 
 
+def test_speed_norm_adaptive_bound():
+    """speed_norm scales the residual headroom with each agent's observed
+    speed: a fast agent's hypotheses can deviate much further from the CV
+    extrapolation than a near-stationary agent's (round-2 bike-scene fix)."""
+    cfg = tiny_cfg(speed_norm=True, vel_gain=2.0, vel_floor=0.004)
+    p = sgm.init_sgm(jax.random.PRNGKey(0), cfg)
+    # saturate the head so the composed bound is visible in the output
+    p = dict(p, head={"w": p["head"]["w"],
+                      "b": p["head"]["b"] + jnp.array([50., 50., 0., 0., 0.])})
+    n, to = 2, cfg.obs_len
+    t = jnp.arange(to, dtype=jnp.float32)
+    slow = jnp.stack([0.5 + 1e-4 * t, jnp.full((to,), 0.5)], -1)
+    fast = jnp.stack([0.1 + 0.05 * t, jnp.full((to,), 0.5)], -1)
+    obs = jnp.stack([slow, fast])                        # (2, To, 2)
+    out = sgm.sgm_forward(p, cfg, obs, jnp.ones((n, to)),
+                          key=jax.random.PRNGKey(1), train=False)
+    # per-step deviation from CV extrapolation at step 1 == tanh(50)*bound
+    cv = sgm.mean_observed_velocity(obs - obs[:, -1:], jnp.ones((n, to)))
+    dev = out["traj_mu"][:, 0, 0, :] - (obs[:, -1] + cv)  # (2, 2)
+    bound_slow = cfg.vel_gain * 1e-4 + cfg.vel_floor
+    bound_fast = cfg.vel_gain * 0.05 + cfg.vel_floor
+    np.testing.assert_allclose(float(dev[0, 0]), bound_slow, rtol=1e-3)
+    np.testing.assert_allclose(float(dev[1, 0]), bound_fast, rtol=1e-3)
+    # end-to-end: the full model trains finite with speed_norm on
+    full = tiny_cfg(speed_norm=True)
+    params = desire.init_desire(jax.random.PRNGKey(0), full)
+    xy = jax.random.uniform(jax.random.PRNGKey(2),
+                            (full.batch_size, full.total_len,
+                             full.max_num_obj, 2)) * 0.5 + 0.2
+    mask = jnp.ones(xy.shape[:3])
+    ids = jnp.arange(1, full.max_num_obj + 1,
+                     dtype=jnp.float32)[None].repeat(full.batch_size, 0)
+    loss, metrics = desire.desire_loss(params, full, xy, mask, ids,
+                                       key=jax.random.PRNGKey(3), step=0)
+    assert np.isfinite(float(loss))
+
+
 def test_sgm_translation_invariance():
     """Shifting the whole trajectory must shift predictions identically
     (origin-relative design)."""
