@@ -121,8 +121,17 @@ def ioc_forward(p_ioc, p_scf, cfg: DesireConfig, traj, dec_h, feat_map,
     # re-score the FINAL trajectories: inside the loop scores are computed
     # before the last delta is applied, so they would describe stale
     # hypotheses (ranking/CE would mis-rank lanes whose final delta moved
-    # them) — one extra scoring pass aligns scores with refined_traj
-    feats = scf.fuse_context(p_scf, cfg, traj, msg, feat_map, live)
+    # them) — one extra scoring pass aligns scores with refined_traj.
+    # stop_gradient on the trajectory input: scoring judges hypotheses, it
+    # must not MOVE them. Without it the ranking CE backpropagates through
+    # scores -> pooled features -> refined positions -> deltas and drags
+    # hypotheses to wherever lanes are easiest to tell apart — measured in
+    # round 2: the moment the CE target became sharp enough to train, the
+    # refined-vs-SGM oracle gap exploded from ~2 px to ~26-29 px at epoch 1.
+    # (The CE loss already stop-gradients its distance TARGET, losses.py;
+    # this cuts the other, feature-side leak.)
+    feats = scf.fuse_context(p_scf, cfg, jax.lax.stop_gradient(traj), msg,
+                             feat_map, live)
     scores, _, _ = score_and_delta(p_ioc, feats, dec_h, fut_mask,
                                    cfg.scene_channels)
     return traj, scores, per_iter

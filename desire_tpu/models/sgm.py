@@ -45,9 +45,6 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
     emb = cfg.embedding_size
     cm = cfg.channel_multiplier
     side = cfg.vae_side
-    assert side == 32, (
-        "the conv-VAE geometry (reference model/model.py:453-492) requires "
-        "vae_side==32, i.e. rnn_size=512")
     lat = cfg.latent_size
     p = {
         # input feature embedding: [xy_rel, dxy] -> emb
@@ -62,23 +59,6 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
         "temporal_b": jnp.zeros((2 * cm,), dtype),
         # recognition fusion: concat(hx, hy) -> vae input "image"
         "fuse": L.init_dense(ks[5], 2 * d, cfg.vae_input_size, dtype),
-        # conv-VAE encoder (32x32x1 -> latent*2)
-        "venc1": L.init_conv(ks[6], 5, 5, 1, 32, dtype),
-        "vgn1": L.init_groupnorm(32, dtype),
-        "venc2": L.init_conv(ks[7], 5, 5, 32, 64, dtype),
-        "vgn2": L.init_groupnorm(64, dtype),
-        "venc3": L.init_conv(ks[8], 5, 5, 64, 128, dtype),
-        "vgn3": L.init_groupnorm(128, dtype),
-        "venc_fc": L.init_dense(ks[9], (side // 8) * (side // 8) * 128,
-                                2 * lat, dtype),
-        # deconv decoder (1x1xlatent -> 32x32x1 -> flatten)
-        "vdec1": L.init_conv(ks[10], 4, 4, lat, 128, dtype),
-        "vdgn1": L.init_groupnorm(128, dtype),
-        "vdec2": L.init_conv(ks[11], 5, 5, 128, 64, dtype),
-        "vdgn2": L.init_groupnorm(64, dtype),
-        "vdec3": L.init_conv(ks[12], 5, 5, 64, 32, dtype),
-        "vdgn3": L.init_groupnorm(32, dtype),
-        "vdec4": L.init_conv(ks[13], 5, 5, 32, 1, dtype),
         # post-VAE mask head (reference w_post_vae, model/model.py:439-443)
         "post_vae": L.init_dense(ks[14], cfg.vae_input_size, d, dtype),
         # direct z -> mask-logits / seed paths. The DESIRE paper computes the
@@ -105,6 +85,38 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
         "head": L.init_dense(jax.random.fold_in(key, 99), d, 5, dtype,
                              scale=0.05),
     }
+    if side == 32:
+        # conv-VAE geometry of the reference (model/model.py:453-492): the
+        # fused 1024-vector reshaped to a 32x32 "image", conv-encoded and
+        # deconv-decoded. Kernel/stride arithmetic only closes for side==32.
+        p.update({
+            "venc1": L.init_conv(ks[6], 5, 5, 1, 32, dtype),
+            "vgn1": L.init_groupnorm(32, dtype),
+            "venc2": L.init_conv(ks[7], 5, 5, 32, 64, dtype),
+            "vgn2": L.init_groupnorm(64, dtype),
+            "venc3": L.init_conv(ks[8], 5, 5, 64, 128, dtype),
+            "vgn3": L.init_groupnorm(128, dtype),
+            "venc_fc": L.init_dense(ks[9], (side // 8) * (side // 8) * 128,
+                                    2 * lat, dtype),
+            "vdec1": L.init_conv(ks[10], 4, 4, lat, 128, dtype),
+            "vdgn1": L.init_groupnorm(128, dtype),
+            "vdec2": L.init_conv(ks[11], 5, 5, 128, 64, dtype),
+            "vdgn2": L.init_groupnorm(64, dtype),
+            "vdec3": L.init_conv(ks[12], 5, 5, 64, 32, dtype),
+            "vdgn3": L.init_groupnorm(32, dtype),
+            "vdec4": L.init_conv(ks[13], 5, 5, 32, 1, dtype),
+        })
+    else:
+        # any other rnn_size (the reference CLI accepts them, its model
+        # crashes — SURVEY §8): an MLP recognition/decoder VAE of equivalent
+        # capability; the "image" is just the fused vector
+        hid = max(4 * lat, side * side // 2)
+        p.update({
+            "venc_fc1": L.init_dense(ks[6], side * side, hid, dtype),
+            "venc_fc": L.init_dense(ks[9], hid, 2 * lat, dtype),
+            "vdec_fc1": L.init_dense(ks[10], lat, hid, dtype),
+            "vdec_fc": L.init_dense(ks[11], hid, side * side, dtype),
+        })
     return p
 
 
@@ -150,14 +162,21 @@ def encode_trajectory(stack, embed_p, xy_rel, mask, dropout_key=None,
 
 
 def vae_encode(p, hx, hy, side):
-    """Recognition network q(z | X, Y): fuse encodings -> conv stack ->
-    (mu, logvar). hx/hy: (N, d)."""
+    """Recognition network q(z | X, Y): fuse encodings -> conv stack (side 32,
+    reference geometry) or MLP (any other vae side) -> (mu, logvar).
+    hx/hy: (N, d)."""
     fused = jax.nn.relu(L.dense(p["fuse"], jnp.concatenate([hx, hy], -1)))
-    img = fused.reshape(-1, side, side, 1)
-    h = jax.nn.elu(L.groupnorm(p["vgn1"], L.conv2d(p["venc1"], img, stride=2)))
-    h = jax.nn.elu(L.groupnorm(p["vgn2"], L.conv2d(p["venc2"], h, stride=2)))
-    h = jax.nn.elu(L.groupnorm(p["vgn3"], L.conv2d(p["venc3"], h, padding="VALID")))
-    h = h.reshape(h.shape[0], -1)
+    if "venc1" in p:
+        img = fused.reshape(-1, side, side, 1)
+        h = jax.nn.elu(L.groupnorm(p["vgn1"],
+                                   L.conv2d(p["venc1"], img, stride=2)))
+        h = jax.nn.elu(L.groupnorm(p["vgn2"],
+                                   L.conv2d(p["venc2"], h, stride=2)))
+        h = jax.nn.elu(L.groupnorm(p["vgn3"],
+                                   L.conv2d(p["venc3"], h, padding="VALID")))
+        h = h.reshape(h.shape[0], -1)
+    else:
+        h = jax.nn.elu(L.dense(p["venc_fc1"], fused))
     out = L.dense(p["venc_fc"], h)
     mu, logvar = jnp.split(out, 2, axis=-1)
     return mu, logvar
@@ -175,12 +194,19 @@ def vae_decode_mask(p, z, side):
       masking) on top of dense(recon), and the softmax is rescaled to mean 1
       so the gate modulates rather than shrinks the encoding by 1/d.
     """
-    h = z[:, None, None, :]
-    h = jax.nn.elu(L.groupnorm(p["vdgn1"], L.deconv2d(p["vdec1"], h, padding="VALID")))
-    h = jax.nn.elu(L.groupnorm(p["vdgn2"], L.deconv2d(p["vdec2"], h, padding="VALID")))
-    h = jax.nn.elu(L.groupnorm(p["vdgn3"], L.deconv2d(p["vdec3"], h, stride=2)))
-    h = jax.nn.sigmoid(L.deconv2d(p["vdec4"], h, stride=2))
-    recon = h.reshape(h.shape[0], -1)                   # (M, side*side)
+    if "vdec1" in p:
+        h = z[:, None, None, :]
+        h = jax.nn.elu(L.groupnorm(p["vdgn1"],
+                                   L.deconv2d(p["vdec1"], h, padding="VALID")))
+        h = jax.nn.elu(L.groupnorm(p["vdgn2"],
+                                   L.deconv2d(p["vdec2"], h, padding="VALID")))
+        h = jax.nn.elu(L.groupnorm(p["vdgn3"],
+                                   L.deconv2d(p["vdec3"], h, stride=2)))
+        h = jax.nn.sigmoid(L.deconv2d(p["vdec4"], h, stride=2))
+        recon = h.reshape(h.shape[0], -1)               # (M, side*side)
+    else:
+        h = jax.nn.elu(L.dense(p["vdec_fc1"], z))
+        recon = jax.nn.sigmoid(L.dense(p["vdec_fc"], h))
     d = p["post_vae"]["w"].shape[-1]
     logits = L.dense(p["post_vae"], recon) + L.dense(p["z_gate"], z)
     beta = jax.nn.softmax(logits, axis=-1) * d

@@ -129,6 +129,72 @@ def test_sgm_inference_mode_needs_no_future():
     assert out["traj_mu"].shape == (n, cfg.num_samples, cfg.pred_len, 2)
 
 
+def test_vae_mlp_geometry_for_nonstandard_rnn_size():
+    """rnn_size != 512 (any 2*rnn_size perfect square) must work end to end —
+    the conv-VAE arithmetic only closes at vae side 32, so other sizes take
+    the MLP VAE path (round-1 weak item: the CLI accepted sizes the model
+    then hard-failed on)."""
+    for rnn_size in (128, 32):           # sides 16 and 8
+        cfg = tiny_cfg(rnn_size=rnn_size)
+        p = sgm.init_sgm(jax.random.PRNGKey(0), cfg)
+        assert "venc1" not in p and "venc_fc1" in p
+        n = 4
+        obs = jnp.full((n, cfg.obs_len, 2), 0.5)
+        fut = jnp.full((n, cfg.pred_len, 2), 0.55)
+        out = sgm.sgm_forward(p, cfg, obs, jnp.ones((n, cfg.obs_len)),
+                              fut, jnp.ones((n, cfg.pred_len)),
+                              key=jax.random.PRNGKey(1), train=True)
+        assert out["raw5"].shape == (n, cfg.num_samples, cfg.pred_len, 5)
+        assert np.isfinite(np.asarray(out["raw5"])).all()
+    # full model incl. IOC + loss + grad on the MLP path
+    cfg = tiny_cfg(rnn_size=128)
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg)
+    xy = jax.random.uniform(jax.random.PRNGKey(2),
+                            (cfg.batch_size, cfg.total_len,
+                             cfg.max_num_obj, 2)) * 0.5 + 0.2
+    mask = jnp.ones(xy.shape[:3])
+    ids = jnp.arange(1, cfg.max_num_obj + 1,
+                     dtype=jnp.float32)[None].repeat(cfg.batch_size, 0)
+    (loss, _), grads = jax.value_and_grad(
+        lambda p: desire.desire_loss(p, cfg, xy, mask, ids,
+                                     key=jax.random.PRNGKey(3), step=0),
+        has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_ranking_ce_cannot_move_hypotheses():
+    """The ranking CE may only train the scorer, never the trajectories:
+    its gradient w.r.t. the SGM hypotheses must be exactly zero. Round-2
+    regression: CE leaked through scores -> pooled features -> refined
+    positions and dragged hypotheses ~26 px off their SGM oracle the moment
+    the CE target became sharp enough to train."""
+    from desire_tpu.models import ioc as ioc_mod
+
+    cfg = tiny_cfg()
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg)
+    b, a, k, tf, d = 2, cfg.max_num_obj, cfg.num_samples, cfg.pred_len, cfg.d_dim
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    traj = jax.random.uniform(keys[0], (b, a, k, tf, 2)) * 0.5 + 0.2
+    dec_h = jax.random.normal(keys[1], (b, a, k, tf, d)) * 0.1
+    feat_map = jax.random.normal(keys[2], (b, cfg.scene_grid, cfg.scene_grid,
+                                           cfg.scene_channels)) * 0.1
+    gt = jax.random.uniform(keys[3], (b, a, tf, 2)) * 0.5 + 0.2
+    live = jnp.ones((b, a))
+    fut_mask = jnp.ones((b, a, tf))
+
+    def ce_only(traj):
+        refined, scores, _ = ioc_mod.ioc_forward(
+            params["ioc"], params["scf"], cfg, traj, dec_h, feat_map,
+            live, fut_mask)
+        return losses.ioc_cross_entropy(scores, refined, gt, live,
+                                        step_mask=fut_mask, temperature=0.5)
+
+    g = jax.grad(ce_only)(traj)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-9)
+
+
 def test_speed_norm_adaptive_bound():
     """speed_norm scales the residual headroom with each agent's observed
     speed: a fast agent's hypotheses can deviate much further from the CV
