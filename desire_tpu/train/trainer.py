@@ -142,4 +142,12 @@ def run_epoch(state: TrainState, loader, epoch: int, step_fn,
                 log_fn(m, state)  # current state, for mid-epoch checkpointing
         losses_acc.append(metrics["loss"])
     mean_loss = float(np.mean([float(x) for x in losses_acc])) if losses_acc else float("nan")
+    if losses_acc and not np.isfinite(mean_loss):
+        # epoch-end failure detection: NaNs that land between the logged
+        # cadence checks above still poison the mean — fail before the
+        # caller checkpoints this state (train.py auto-recovers from the
+        # last good checkpoint)
+        raise NonFiniteLossError(
+            f"epoch {epoch} mean loss is non-finite; resume from the last "
+            f"good checkpoint")
     return state, mean_loss

@@ -81,6 +81,71 @@ def test_train_step_decreases_loss(env):
     assert last < first - 1.0, f"no learning: first={first}, last={last}"
 
 
+class _TransientFaultLoader:
+    """Wraps a loader; serves NaN-poisoned batches for one whole epoch, once
+    (a transient fault — e.g. a bad host read or a device glitch)."""
+
+    def __init__(self, inner, poison_epoch):
+        self._inner = inner
+        self._poison_epoch = poison_epoch
+        self._armed = True
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def epoch_batches(self, epoch, start_batch=0, rows=None):
+        for b in self._inner.epoch_batches(epoch, start_batch, rows=rows):
+            if self._armed and epoch == self._poison_epoch:
+                b.xy = np.full_like(b.xy, np.nan)
+            yield b
+        if epoch == self._poison_epoch:
+            self._armed = False   # fault clears after one pass
+
+
+def test_fault_injection_auto_recovery(env, tmp_path, monkeypatch):
+    """Failure detection + elastic recovery (SURVEY §5): a transient NaN
+    fault must (1) be detected, (2) never reach a checkpoint, (3) be healed
+    by auto-resume from the last good checkpoint — the run completes."""
+    import json
+
+    import train as train_mod
+
+    cfg = env["cfg"].replace(save_dir=str(tmp_path / "ckpt"),
+                             num_epochs=3, save_every=10_000)
+    faulty = _TransientFaultLoader(SDDLoader(cfg, use_native=False),
+                                   poison_epoch=1)
+    monkeypatch.setattr(train_mod, "SDDLoader",
+                        lambda c, **kw: faulty if not c.eval_scenes else
+                        SDDLoader(c, **kw))
+    train_mod.train(cfg, eval_every=0, max_recoveries=2)
+
+    events = [json.loads(l) for l in
+              open(os.path.join(cfg.save_dir, "metrics.jsonl"))]
+    recov = [e for e in events if e["event"] == "recover"]
+    assert len(recov) == 1, f"expected exactly one recovery, got {recov}"
+    assert "non-finite" in recov[0]["error"]
+    epochs = [e for e in events if e["event"] == "epoch"]
+    # all 3 epochs completed with finite means (epoch 1 re-ran clean)
+    assert sorted(e["epoch"] for e in epochs) == [0, 1, 2]
+    assert all(np.isfinite(e["mean_loss"]) for e in epochs)
+    # the surviving checkpoint holds finite params
+    mgr = ckpt_mod.CheckpointManager(cfg.save_dir)
+    got = mgr.restore(_fresh_state(env))
+    assert got is not None
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(got[0].params))
+
+
+def test_nonfinite_epoch_raises_without_manager(env):
+    """Without a checkpoint manager the failure must fail fast (raise), not
+    silently return a NaN epoch mean."""
+    cfg = env["cfg"]
+    faulty = _TransientFaultLoader(env["loader"], poison_epoch=0)
+    state = _fresh_state(env)
+    with pytest.raises(trainer.NonFiniteLossError):
+        trainer.run_epoch(state, faulty, 0, env["step_fn"])
+
+
 def test_checkpoint_resume_roundtrip(env, tmp_path):
     cfg, loader, step_fn = env["cfg"], env["loader"], env["step_fn"]
     state = _fresh_state(env)

@@ -34,6 +34,10 @@ def main(argv=None):
     add_config_flags(parser)
     parser.add_argument("--resume", type=int, default=0,
                         help="resume from the latest checkpoint in save_dir")
+    parser.add_argument("--max_recoveries", type=int, default=3,
+                        help="auto-resume from the last good checkpoint this "
+                             "many times when training hits repeated "
+                             "non-finite losses (0 = fail fast)")
     parser.add_argument("--eval_every", type=int, default=1,
                         help="epochs between eval passes (0 = off)")
     parser.add_argument("--max_eval_batches", type=int, default=16)
@@ -60,12 +64,13 @@ def main(argv=None):
     train(cfg, resume=bool(args.resume), eval_every=args.eval_every,
           max_eval_batches=args.max_eval_batches,
           max_train_batches=args.max_train_batches or None,
-          profile_dir=args.profile_dir or None)
+          profile_dir=args.profile_dir or None,
+          max_recoveries=args.max_recoveries)
 
 
 def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
           max_eval_batches: int = 16, max_train_batches: int | None = None,
-          profile_dir: str | None = None):
+          profile_dir: str | None = None, max_recoveries: int = 3):
     # multi-host: every process runs the data/step loop (collectives need
     # all of them); only process 0 logs, evaluates, and checkpoints
     is_main = jax.process_index() == 0
@@ -103,27 +108,51 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
     step_fn = trainer.make_train_step(cfg, loader.num_batches, mesh=mesh)
 
     save_interval = max(cfg.save_every // max(cfg.batch_size, 1), 1)
-    for epoch in range(start_epoch, cfg.num_epochs):
+    recoveries = 0
+    epoch = start_epoch
+    while epoch < cfg.num_epochs:
         def log_fn(m, cur_state, _epoch=epoch):
             log.log(dict(m, event="train"))
             if mgr is not None and m["batch"] % save_interval == 0 and m["batch"] > 0:
                 mgr.save(cur_state, loader.state, cfg)
         epoch_start = start_batch if epoch == start_epoch else 0
-        if profile_dir and epoch == start_epoch:
-            # trace a short slice of the first epoch (SURVEY §5 tracing row);
-            # the main loop resumes AFTER the traced batches (they took real
-            # optimizer steps — don't train them twice)
-            traced = min(max_train_batches or 4, 4)
-            with jax.profiler.trace(profile_dir):
-                state, _ = trainer.run_epoch(
-                    state, loader, epoch, step_fn, log_fn=log_fn,
-                    start_batch=epoch_start, mesh=mesh, max_batches=traced)
-            log.log({"event": "profile", "dir": profile_dir})
-            epoch_start += traced
-        state, mean_loss = trainer.run_epoch(
-            state, loader, epoch, step_fn, log_fn=log_fn,
-            start_batch=epoch_start, mesh=mesh,
-            max_batches=max_train_batches)
+        try:
+            if profile_dir and epoch == start_epoch:
+                # trace a short slice of the first epoch (SURVEY §5 tracing
+                # row); the main loop resumes AFTER the traced batches (they
+                # took real optimizer steps — don't train them twice)
+                traced = min(max_train_batches or 4, 4)
+                with jax.profiler.trace(profile_dir):
+                    state, _ = trainer.run_epoch(
+                        state, loader, epoch, step_fn, log_fn=log_fn,
+                        start_batch=epoch_start, mesh=mesh, max_batches=traced)
+                log.log({"event": "profile", "dir": profile_dir})
+                epoch_start += traced
+            state, mean_loss = trainer.run_epoch(
+                state, loader, epoch, step_fn, log_fn=log_fn,
+                start_batch=epoch_start, mesh=mesh,
+                max_batches=max_train_batches)
+        except trainer.NonFiniteLossError as e:
+            # failure recovery (SURVEY §5): roll back to the last good
+            # checkpoint and continue — bounded by max_recoveries so a
+            # deterministically-diverging run still fails loudly
+            recoveries += 1
+            if mgr is None or recoveries > max_recoveries:
+                raise
+            mgr.wait()
+            got = mgr.restore(create_train_state(cfg, init_desire(
+                jax.random.PRNGKey(cfg.seed), cfg), loader.num_batches))
+            if got is None:
+                raise
+            state, lst = got
+            start_epoch, start_batch = lst.epoch, lst.batch_index
+            if start_batch >= loader.num_batches:
+                start_epoch, start_batch = start_epoch + 1, 0
+            log.log({"event": "recover", "error": str(e),
+                     "recoveries": recoveries, "step": int(state.step),
+                     "epoch": start_epoch, "batch": start_batch})
+            epoch = start_epoch
+            continue
         log.log({"event": "epoch", "epoch": epoch, "mean_loss": mean_loss})
         if mgr is not None:
             mgr.save(state, loader.state, cfg)
@@ -132,6 +161,7 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
                           max_batches=max_eval_batches)
             log.log(dict(ev, event="eval", epoch=epoch,
                          held_out=bool(cfg.eval_scenes)))
+        epoch += 1
     if mgr is not None:
         mgr.wait()
     return state
