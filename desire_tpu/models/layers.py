@@ -101,6 +101,32 @@ def gru_scan(p: Params, h0: jnp.ndarray, xs: jnp.ndarray,
     return jax.lax.scan(body, h0, inputs, reverse=reverse)
 
 
+def gru_scan_const_x(p: Params, h0: jnp.ndarray, x: jnp.ndarray, t_len: int):
+    """GRU scan whose input is the SAME x at every step (the K-lane decoder's
+    seed-fed recurrence, reference rnn_decoder semantics model/model.py:279-289
+    — `[multipl ⊙ enc_x] * K` feeds the identical vector each step).
+
+    The input-gate matmul x@Wi is time-invariant, so it hoists OUT of the
+    scan — one (N, in)@(in, 3H) matmul instead of T of them; the scan carries
+    only the h@Wh recurrence. Bit-identical to gru_scan on broadcast inputs
+    (same op order per step). Returns (h_T, hs (T, N, H))."""
+    gi = jnp.dot(x, p["wi"].astype(x.dtype),
+                 preferred_element_type=x.dtype) + p["bi"].astype(x.dtype)
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+
+    def body(h, _):
+        gh = jnp.dot(h, p["wh"].astype(h.dtype),
+                     preferred_element_type=h.dtype) + p["bh"].astype(h.dtype)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    return jax.lax.scan(body, h0, None, length=t_len)
+
+
 def init_gru_stack(key, in_dim, hidden, num_layers, dtype=jnp.float32):
     keys = jax.random.split(key, num_layers)
     return [init_gru(keys[i], in_dim if i == 0 else hidden, hidden, dtype)

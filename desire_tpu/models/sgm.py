@@ -221,8 +221,13 @@ def decode_hypotheses(p, cfg: DesireConfig, h_seed, h_init, pred_len):
     Returns raw (M, Tf, 5) head outputs and hidden states (M, Tf, d).
     """
     m, d = h_seed.shape
-    xs = jnp.broadcast_to(h_seed, (pred_len, m, d))
-    _, hs = L.gru_stack_scan(p["dec"], h_init, xs)       # (Tf, M, d)
+    if len(p["dec"]) == 1:
+        # the seed is constant across steps -> hoist x@Wi out of the scan
+        # (saves Tf-1 redundant (M,d)@(d,3d) matmuls; bit-identical result)
+        _, hs = L.gru_scan_const_x(p["dec"][0], h_init[0], h_seed, pred_len)
+    else:
+        xs = jnp.broadcast_to(h_seed, (pred_len, m, d))
+        _, hs = L.gru_stack_scan(p["dec"], h_init, xs)   # (Tf, M, d)
     raw = L.dense(p["head"], hs)                         # (Tf, M, 5)
     return jnp.swapaxes(raw, 0, 1), jnp.swapaxes(hs, 0, 1)
 

@@ -51,6 +51,19 @@ def test_gru_matches_flax_grucell():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_gru_scan_const_x_matches_generic_scan():
+    """The hoisted constant-input decoder scan must be bit-identical to the
+    generic scan fed the broadcast seed (pure refactor, no math change)."""
+    p = layers.init_gru(jax.random.PRNGKey(0), 16, 16)
+    h0 = jax.random.normal(jax.random.PRNGKey(1), (6, 16))
+    x = jax.random.normal(jax.random.PRNGKey(2), (6, 16))
+    t = 7
+    hT1, hs1 = layers.gru_scan(p, h0, jnp.broadcast_to(x, (t, 6, 16)))
+    hT2, hs2 = layers.gru_scan_const_x(p, h0, x, t)
+    np.testing.assert_array_equal(np.asarray(hs1), np.asarray(hs2))
+    np.testing.assert_array_equal(np.asarray(hT1), np.asarray(hT2))
+
+
 def test_gru_scan_mask_freezes_state():
     p = layers.init_gru(jax.random.PRNGKey(0), 3, 4)
     xs = jax.random.normal(jax.random.PRNGKey(1), (5, 2, 3))
