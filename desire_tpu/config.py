@@ -121,6 +121,16 @@ class DesireConfig:
     # ---- TPU execution ----
     compute_dtype: str = "bfloat16"  # activations dtype; params/optimizer stay fp32
     use_pallas: bool = True          # fused Pallas kernels on TPU (pure-XLA fallback off-TPU)
+    remat: bool = False          # jax.checkpoint the lane-parallel memory
+    #                              hogs — each IOC iteration (its (B,K*T,A,A)
+    #                              social-attention activations) and the
+    #                              per-lane VAE mask decoder (its (B*A*K,
+    #                              32,32,C) deconv maps) — recomputing them
+    #                              in the backward pass instead of stashing.
+    #                              Required for K=50 training (BASELINE
+    #                              config 5): without it the train step
+    #                              needs 20+ GB HBM temp at B=32 (measured
+    #                              via XLA memory_analysis) vs the chip's 16
     mesh_data: int = 1               # data-parallel mesh axis size
     mesh_k: int = 1                  # hypothesis-lane mesh axis size
     seed: int = 0

@@ -112,11 +112,20 @@ def ioc_forward(p_ioc, p_scf, cfg: DesireConfig, traj, dec_h, feat_map,
     traj = traj.astype(jnp.float32)  # position state stays exact
     # social messages depend only on dec_h -> project once, reuse per iter
     msg = scf.social_messages(p_scf, dec_h) if cfg.use_social else dec_h
-    for _ in range(max(iters, 1)):
+
+    def one_iter(p_ioc, p_scf, traj, msg, dec_h):
         feats = scf.fuse_context(p_scf, cfg, traj, msg, feat_map, live)
-        scores, deltas, _ = score_and_delta(p_ioc, feats, dec_h, fut_mask,
-                                            cfg.scene_channels)
-        traj = traj + deltas.astype(jnp.float32)
+        _, deltas, _ = score_and_delta(p_ioc, feats, dec_h, fut_mask,
+                                       cfg.scene_channels)
+        return traj + deltas.astype(jnp.float32)
+
+    if cfg.remat:
+        # rematerialize each iteration in the backward pass instead of
+        # stashing its (B, K*T, A, A) social-attention activations — the
+        # HBM-residency fix that makes K=50 training fit (see config.py)
+        one_iter = jax.checkpoint(one_iter)
+    for _ in range(max(iters, 1)):
+        traj = one_iter(p_ioc, p_scf, traj, msg, dec_h)
         per_iter.append(traj)
     # re-score the FINAL trajectories: inside the loop scores are computed
     # before the last delta is applied, so they would describe stale

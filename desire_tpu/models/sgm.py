@@ -337,7 +337,13 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     # sequence-parallel analogue of this model); rows stay on 'data'.
     z = shard_hint(z, "data", "k")
     z_flat = z.reshape(n * K, lat)
-    beta, recon = vae_decode_mask(p, z_flat, side)
+    decode_mask = vae_decode_mask
+    if cfg.remat:
+        # the per-lane deconv stack materializes (N*K, 32, 32, C) maps —
+        # gigabytes at K=50; recompute them in the backward pass (config.py
+        # remat flag) instead of stashing
+        decode_mask = jax.checkpoint(vae_decode_mask, static_argnums=(2,))
+    beta, recon = decode_mask(p, z_flat, side)
     # additive z projection keeps a first-class linear path from the latent
     # into the decoder (see init_sgm z_skip comment); rho conditions the
     # seed with the temporal-conv trajectory features (C3 made live)

@@ -177,6 +177,29 @@ def test_vae_mlp_geometry_for_nonstandard_rnn_size():
                for g in jax.tree_util.tree_leaves(grads))
 
 
+def test_remat_is_exact():
+    """cfg.remat (jax.checkpoint on the IOC iterations + VAE decode) must
+    change memory residency only — loss and grads bit-comparable."""
+    xy = jax.random.uniform(jax.random.PRNGKey(2), (2, 7, 4, 2)) * 0.5 + 0.2
+    mask = jnp.ones(xy.shape[:3])
+    ids = jnp.arange(1, 5, dtype=jnp.float32)[None].repeat(2, 0)
+    outs = []
+    for remat in (False, True):
+        cfg = tiny_cfg(remat=remat)
+        params = desire.init_desire(jax.random.PRNGKey(0), cfg)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: desire.desire_loss(p, cfg, xy, mask, ids,
+                                         key=jax.random.PRNGKey(3), step=0),
+            has_aux=True)(params)
+        outs.append((float(loss), grads))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    # recompute-vs-stash reassociates float reductions -> ~1e-5 rel noise
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_ranking_ce_cannot_move_hypotheses():
     """The ranking CE may only train the scorer, never the trajectories:
     its gradient w.r.t. the SGM hypotheses must be exactly zero. Round-2
