@@ -8,6 +8,8 @@ hypotheses, masked-averaged over live agents.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +48,19 @@ def min_ade_fde(pred, gt, step_mask, agent_mask, scale=None):
     return min_ade, min_fde
 
 
+def per_agent_min_ade_fde(pred, gt, step_mask, scale=None):
+    """Per-agent best-of-K errors (no masked mean — callers aggregate).
+
+    pred (B, A, K, T, 2); gt (B, A, T, 2); step_mask (B, A, T); scale (B,).
+    Returns (min_ade (B, A), min_fde (B, A)) in pixels when scale is given.
+    """
+    if scale is not None:
+        pred = pred * scale[:, None, None, None, None]
+        gt = gt * scale[:, None, None, None]
+    ade, fde = displacement_errors(pred, gt, step_mask)
+    return jnp.min(ade, axis=-1), jnp.min(fde, axis=-1)
+
+
 def best_of_k_by_score(pred, scores):
     """Pick each agent's top-scored hypothesis (IOC ranking output).
     pred (B, A, K, T, 2), scores (B, A, K) -> (B, A, T, 2)."""
@@ -75,8 +90,8 @@ def horizon_ade_fde(pred, gt, step_mask, agent_mask, horizon_steps,
         pred = pred * scale[:, None, None, None, None]
         gt = gt * scale[:, None, None, None]
     t = gt.shape[-2]
-    lo = max(int(jnp.floor(horizon_steps + 1e-6)), 1)       # 1-based
-    hi = min(int(jnp.ceil(horizon_steps - 1e-6)), t)
+    lo = max(int(math.floor(horizon_steps + 1e-6)), 1)      # 1-based
+    hi = min(int(math.ceil(horizon_steps - 1e-6)), t)
     frac = float(horizon_steps) - lo
     d = jnp.linalg.norm(pred - gt[..., None, :, :], axis=-1)  # (B,A,K,T)
     ade = jnp.mean(d[..., :lo], axis=-1)                      # (B, A, K)
@@ -91,6 +106,49 @@ def horizon_ade_fde(pred, gt, step_mask, agent_mask, horizon_steps,
     min_ade = losses.masked_mean(jnp.min(ade, axis=-1), valid)
     min_fde = losses.masked_mean(jnp.min(fde, axis=-1), valid)
     return min_ade, min_fde, jnp.sum(valid)
+
+
+def per_agent_horizon(pred, gt, step_mask, horizon_steps, scale=None):
+    """Per-agent variant of horizon_ade_fde (same protocol semantics).
+
+    Returns (min_ade@h (B, A), min_fde@h (B, A), covered (B, A)) — covered
+    is the agent's eligibility mask (all steps up to ceil(h) observed).
+    """
+    if scale is not None:
+        pred = pred * scale[:, None, None, None, None]
+        gt = gt * scale[:, None, None, None]
+    t = gt.shape[-2]
+    lo = max(int(math.floor(horizon_steps + 1e-6)), 1)      # 1-based
+    hi = min(int(math.ceil(horizon_steps - 1e-6)), t)
+    frac = float(horizon_steps) - lo
+    d = jnp.linalg.norm(pred - gt[..., None, :, :], axis=-1)  # (B,A,K,T)
+    ade = jnp.mean(d[..., :lo], axis=-1)                      # (B, A, K)
+    if hi > lo:
+        p_h = pred[..., lo - 1, :] * (1 - frac) + pred[..., hi - 1, :] * frac
+        g_h = gt[..., lo - 1, :] * (1 - frac) + gt[..., hi - 1, :] * frac
+        fde = jnp.linalg.norm(p_h - g_h[..., None, :], axis=-1)
+    else:
+        fde = d[..., lo - 1]
+    covered = jnp.all(step_mask[..., :hi] > 0, axis=-1).astype(jnp.float32)
+    return jnp.min(ade, axis=-1), jnp.min(fde, axis=-1), covered
+
+
+def per_agent_ranking(scores, pred, gt, step_mask):
+    """Per-agent variant of ranking_quality: (top1_pct (B,A), corr (B,A))."""
+    d = jnp.linalg.norm(pred - gt[..., None, :, :], axis=-1)   # (B,A,K,T)
+    m = step_mask[..., None, :]
+    ade = jnp.sum(d * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1e-8)
+    k = ade.shape[-1]
+    pick = jnp.argmax(scores, axis=-1)                          # (B, A)
+    picked_ade = jnp.take_along_axis(ade, pick[..., None], -1)[..., 0]
+    better = jnp.sum((ade < picked_ade[..., None]).astype(jnp.float32), -1)
+    top1_pct = better / max(k - 1, 1)
+    zs = (scores - scores.mean(-1, keepdims=True)) / (
+        scores.std(-1, keepdims=True) + 1e-8)
+    zd = (ade - ade.mean(-1, keepdims=True)) / (ade.std(-1, keepdims=True)
+                                                + 1e-8)
+    corr = jnp.mean(-zs * zd, axis=-1)                          # (B, A)
+    return top1_pct, corr
 
 
 def ranking_quality(scores, pred, gt, step_mask, agent_mask):

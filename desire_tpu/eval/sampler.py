@@ -47,6 +47,71 @@ def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
     return jax.jit(fn)
 
 
+def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
+                   calibration=False, pit_bins=20):
+    """One jitted program: forward pass + EVERY per-batch eval metric.
+
+    Through the remote-TPU tunnel each dispatch costs ~0.3 s; the previous
+    eval loop issued ~15-20 metric dispatches per batch (per-scene loop,
+    horizons, speed bins, calibration — all separate jit calls + scalar
+    syncs), making a full-epoch eval minutes of pure round-trip latency.
+    This fuses everything into a single dispatch returning small per-agent
+    (B, A) arrays; host-side numpy does the scene/speed-bin grouping.
+    """
+    def fn(params, xy, mask, ids, key, scale):
+        k1, _ = jax.random.split(key)   # same split as make_sampler -> the
+        #                                 fused path reproduces its draws
+        out = desire.desire_forward(params, cfg, xy, mask, ids, key=k1,
+                                    k_samples=k_samples, train=False)
+        traj = out["refined_traj"].astype(jnp.float32)
+        scores = out["scores"]
+        if scores is None:
+            scores = jnp.zeros(traj.shape[:3], traj.dtype)
+        scores = scores.astype(jnp.float32)
+        best = M.best_of_k_by_score(traj, scores)[:, :, None]
+        gt = out["fut_xy"].astype(jnp.float32)
+        sm = out["fut_mask"].astype(jnp.float32)
+        # weight by the agents the metric actually averages over (live AND
+        # has a valid future step) — weighting by bare live would bias the
+        # batch aggregation whenever the ratio differs across batches
+        live = (out["live"].astype(jnp.float32)
+                * (jnp.sum(sm, axis=-1) > 0))
+        res = {"valid": live}
+        res["ade"], res["fde"] = M.per_agent_min_ade_fde(
+            traj, gt, sm, scale=scale)
+        res["top1_ade"], res["top1_fde"] = M.per_agent_min_ade_fde(
+            best, gt, sm, scale=scale)
+        res["sgm_ade"], res["sgm_fde"] = M.per_agent_min_ade_fde(
+            out["sgm_traj"].astype(jnp.float32), gt, sm, scale=scale)
+        res["rank_pct"], res["rank_corr"] = M.per_agent_ranking(
+            scores, traj, gt, sm)
+        # observed speed (px/step at the protocol rate) per agent
+        om = out["obs_mask"].astype(jnp.float32)
+        both = om[..., 1:] * om[..., :-1]
+        dxy = jnp.diff(out["obs_xy"].astype(jnp.float32), axis=2)
+        res["speed"] = (jnp.sum(jnp.linalg.norm(dxy, axis=-1) * both, -1)
+                        / jnp.maximum(jnp.sum(both, -1), 1e-6)
+                        ) * scale[:, None]
+        for i, hs in enumerate(horizon_steps):
+            ha, hf, cov = M.per_agent_horizon(traj, gt, sm, hs, scale=scale)
+            ba, bf, _ = M.per_agent_horizon(best, gt, sm, hs, scale=scale)
+            res[f"h{i}"] = (ha, hf, ba, bf, cov)
+        if calibration:
+            u, w = M.pit_values(out["raw5"], gt, sm, live)
+            res["pit_hist"] = M.pit_histogram(u, w, pit_bins)
+            w2 = jnp.broadcast_to(w[..., None], w.shape + (2,))
+            cov_sums = {}
+            for lv in (0.5, 0.9):
+                lo, hi = (1 - lv) / 2, (1 + lv) / 2
+                inside = jnp.logical_and(u >= lo, u <= hi)
+                cov_sums[lv] = jnp.sum(inside.astype(jnp.float32) * w2)
+            res["cov_50"] = cov_sums[0.5]
+            res["cov_90"] = cov_sums[0.9]
+            res["cov_w"] = jnp.sum(w2)
+        return res
+    return jax.jit(fn)
+
+
 def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
              key=None, max_batches=None, epoch: int = 0,
              per_scene: bool = False, horizons=None,
@@ -62,22 +127,26 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
     speed_bins: optional ascending px/step boundaries (e.g. (2, 8, 20)) —
     adds an error breakdown by observed-speed class (slow walkers vs bikes;
     the diagnostic axis for the bike-heavy deathCircle/little scenes)."""
-    sampler = make_sampler(cfg, k_samples=k_samples)
     key = key if key is not None else jax.random.PRNGKey(cfg.seed + 1)
     acc: dict = {}
     # protocol rate: SDD annotations are ~30 fps; subsample strides to the
     # paper's 2.5 Hz (config.py subsample=12)
     hz = 30.0 / max(cfg.subsample, 1)
-    hor_acc = {h: [0.0, 0.0, 0.0, 0.0, 0.0] for h in (horizons or ())}
+    horizons = [h for h in (horizons or ())
+                if h * hz <= cfg.pred_len + 1e-6]
+    hor_acc = {h: [0.0, 0.0, 0.0, 0.0, 0.0] for h in horizons}
     pit_bins = 20
     cal_acc = {"hist": np.zeros(pit_bins), "cov_n": 0.0,
                "cov": {0.5: 0.0, 0.9: 0.0}}
+    step = make_eval_step(cfg, k_samples=k_samples,
+                          horizon_steps=tuple(h * hz for h in horizons),
+                          calibration=calibration, pit_bins=pit_bins)
 
     def add(tag, a, f, b_ade, n):
         d = acc.setdefault(tag, [0.0, 0.0, 0.0, 0.0])
-        d[0] += a * n
-        d[1] += f * n
-        d[2] += b_ade * n
+        d[0] += a
+        d[1] += f
+        d[2] += b_ade
         d[3] += n
 
     for bi, batch in enumerate(loader.epoch_batches(epoch)):
@@ -85,81 +154,49 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
             break
         xy, mask, ids = batch_to_device(batch)
         key, sub = jax.random.split(key)
-        out = sampler(params, xy, mask, ids, sub)
-        scale = jnp.asarray(batch.scale)
-        args = (out["fut_xy"].astype(jnp.float32),
-                out["fut_mask"].astype(jnp.float32))
-        # weight by the agents the metric actually averages over (live AND
-        # has a valid future step) — weighting by bare live would bias the
-        # batch aggregation whenever the ratio differs across batches
-        live = (out["live"].astype(jnp.float32)
-                * (jnp.sum(out["fut_mask"], axis=-1) > 0))
-        traj = out["traj"].astype(jnp.float32)
-        best = out["best"][:, :, None].astype(jnp.float32)
+        res = jax.device_get(step(params, xy, mask, ids, sub,
+                                  jnp.asarray(batch.scale)))
+        w = res["valid"]                                  # (B, A) weights
+
+        def wsum(x, wt=w):
+            return float(np.sum(x * wt))
+
+        add("__all__", wsum(res["ade"]), wsum(res["fde"]),
+            wsum(res["top1_ade"]), float(np.sum(w)))
+        add("__sgm__", wsum(res["sgm_ade"]), wsum(res["sgm_fde"]),
+            wsum(res["sgm_ade"]), float(np.sum(w)))
+        add("__rank__", wsum(res["rank_pct"]), wsum(res["rank_corr"]),
+            0.0, float(np.sum(w)))
         if per_scene:
             for vid in np.unique(batch.video):
-                sel = jnp.asarray(batch.video == vid, jnp.float32)
-                live_v = live * sel[:, None]
-                a, f = M.min_ade_fde(traj, *args, live_v, scale=scale)
-                b_ade, _ = M.min_ade_fde(best, *args, live_v, scale=scale)
+                sel = w * (batch.video == vid)[:, None]
                 scene = loader.videos[int(vid)].name.split("/")[0]
-                add(scene, float(a), float(f), float(b_ade),
-                    float(jnp.sum(live_v)))
-        a, f = M.min_ade_fde(traj, *args, live, scale=scale)
-        b_ade, _ = M.min_ade_fde(best, *args, live, scale=scale)
-        add("__all__", float(a), float(f), float(b_ade),
-            float(jnp.sum(live)))
-        # SGM (pre-refinement) oracle — shows the IOC stage's value-add
-        sa, sf = M.min_ade_fde(out["sgm_traj"].astype(jnp.float32), *args,
-                               live, scale=scale)
-        add("__sgm__", float(sa), float(sf), float(sa),
-            float(jnp.sum(live)))
-        # ranking quality: percentile of the chosen lane + score/-ADE corr
-        rp, rc, rn = M.ranking_quality(out["scores"].astype(jnp.float32),
-                                       traj, *args, live)
-        add("__rank__", float(rp), float(rc), 0.0, float(rn))
+                add(scene, wsum(res["ade"], sel), wsum(res["fde"], sel),
+                    wsum(res["top1_ade"], sel), float(np.sum(sel)))
         if speed_bins:
-            # observed speed (px/step at the protocol rate) per agent
-            om = out["obs_mask"].astype(jnp.float32)
-            both = om[..., 1:] * om[..., :-1]
-            dxy = jnp.diff(out["obs_xy"].astype(jnp.float32), axis=2)
-            sp = (jnp.sum(jnp.linalg.norm(dxy, axis=-1) * both, -1)
-                  / jnp.maximum(jnp.sum(both, -1), 1e-6))
-            sp = sp * scale[:, None]                        # (B, A) px/step
             edges = [0.0] + list(speed_bins) + [float("inf")]
             for lo, hi in zip(edges[:-1], edges[1:]):
-                sel = jnp.logical_and(sp >= lo, sp < hi).astype(jnp.float32)
-                live_s = live * sel
-                n_s = float(jnp.sum(live_s))
+                sel = w * (res["speed"] >= lo) * (res["speed"] < hi)
+                n_s = float(np.sum(sel))
                 if n_s == 0:
                     continue
-                a_s, f_s = M.min_ade_fde(traj, *args, live_s, scale=scale)
-                b_s, _ = M.min_ade_fde(best, *args, live_s, scale=scale)
                 tag = f"speed[{lo:g},{hi:g})px/step"
-                add(tag, float(a_s), float(f_s), float(b_s), n_s)
-        for h in (horizons or ()):
-            steps = h * hz
-            if steps > traj.shape[-2] + 1e-6:
-                continue
-            ha, hf, n_h = M.horizon_ade_fde(traj, *args, live, steps,
-                                            scale=scale)
-            ba, bf, _ = M.horizon_ade_fde(best, *args, live, steps,
-                                          scale=scale)
+                add(tag, wsum(res["ade"], sel), wsum(res["fde"], sel),
+                    wsum(res["top1_ade"], sel), n_s)
+        for i, h in enumerate(horizons):
+            ha, hf, ba, bf, cov = res[f"h{i}"]
+            sel = w * cov
             d = hor_acc[h]
-            n_h = float(n_h)
-            d[0] += float(ha) * n_h
-            d[1] += float(hf) * n_h
-            d[2] += float(ba) * n_h
-            d[3] += float(bf) * n_h
-            d[4] += n_h
+            d[0] += wsum(ha, sel)
+            d[1] += wsum(hf, sel)
+            d[2] += wsum(ba, sel)
+            d[3] += wsum(bf, sel)
+            d[4] += float(np.sum(sel))
         if calibration:
-            u, w = M.pit_values(out["raw5"], args[0], args[1], live)
-            cal_acc["hist"] += np.asarray(M.pit_histogram(u, w, pit_bins))
-            cov = M.coverage(u, w)
-            n_c = float(jnp.sum(w)) * 2
-            for lv in cov:
-                cal_acc["cov"][lv] += cov[lv] * n_c
-            cal_acc["cov_n"] += n_c
+            cal_acc["hist"] += res["pit_hist"]
+            cal_acc["cov"][0.5] += float(res["cov_50"])
+            cal_acc["cov"][0.9] += float(res["cov_90"])
+            cal_acc["cov_n"] += float(res["cov_w"])
 
     def summarize(d):
         w = max(d[3], 1e-8)

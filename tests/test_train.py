@@ -328,10 +328,54 @@ def test_best_of_k_by_score():
 def test_evaluate_harness_runs(env):
     cfg, loader = env["cfg"], env["loader"]
     params = init_desire(jax.random.PRNGKey(0), cfg)
-    res = evaluate(params, cfg, loader, max_batches=2)
+    # micro protocol rate = 30/subsample = 15 Hz, pred_len 4 -> horizons
+    # must sit inside 0.267 s
+    res = evaluate(params, cfg, loader, max_batches=2, per_scene=True,
+                   horizons=(0.1, 0.2), calibration=True, speed_bins=(2, 8))
     assert np.isfinite(res["minADE_px"]) and np.isfinite(res["minFDE_px"])
     assert res["minADE_px"] <= res["top1ADE_px"] + 1e-6  # oracle <= ranked
     assert res["num_agents"] > 0
+    # optional breakdowns all populated by the fused eval step
+    assert res["per_scene"] and all(
+        np.isfinite(v["minADE_px"]) for v in res["per_scene"].values())
+    assert "0.1s" in res["horizons"]
+    h1, h2 = res["horizons"]["0.1s"], res["horizons"]["0.2s"]
+    assert h1["minADE_px"] <= h2["minADE_px"] + 1e-6     # errors grow with h
+    assert abs(h1["minADE_px_fifth"] * 5 - h1["minADE_px"]) < 1e-6
+    assert 0 <= res["calibration"]["pit_ks"] <= 1
+    assert res["speed_classes"]
+    # scene/speed groups partition the same weighted agent population
+    assert abs(sum(v["num_agents"] for v in res["per_scene"].values())
+               - res["num_agents"]) < 1e-3
+    assert abs(sum(v["num_agents"] for v in res["speed_classes"].values())
+               - res["num_agents"]) < 1e-3
+
+
+def test_evaluate_matches_direct_metrics(env):
+    """The fused single-dispatch eval step reproduces the straightforward
+    per-batch metric math (make_sampler + min_ade_fde) exactly."""
+    cfg, loader = env["cfg"], env["loader"]
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    res = evaluate(params, cfg, loader, max_batches=2)
+
+    sampler = make_sampler(cfg)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    num, den = 0.0, 0.0
+    for bi, batch in enumerate(loader.epoch_batches(0)):
+        if bi >= 2:
+            break
+        xy, mask, ids = trainer.batch_to_device(batch)
+        key, sub = jax.random.split(key)
+        out = sampler(params, xy, mask, ids, sub)
+        live = (out["live"].astype(jnp.float32)
+                * (jnp.sum(out["fut_mask"], axis=-1) > 0))
+        a, _ = M.min_ade_fde(out["traj"].astype(jnp.float32),
+                             out["fut_xy"].astype(jnp.float32),
+                             out["fut_mask"].astype(jnp.float32),
+                             live, scale=jnp.asarray(batch.scale))
+        num += float(a) * float(jnp.sum(live))
+        den += float(jnp.sum(live))
+    np.testing.assert_allclose(res["minADE_px"], num / den, rtol=1e-5)
 
 
 def test_stochastic_sampler_differs_from_mean(env):
