@@ -101,9 +101,22 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
             cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
             feat_map = jnp.zeros(
                 (b, cfg.scene_grid, cfg.scene_grid, cfg.scene_channels), cd)
-        refined, scores, per_iter = ioc_mod.ioc_forward(
-            params["ioc"], params["scf"], cfg, traj, dec_h, feat_map,
-            live, fut_mask)
+        if not train and ops.use_pallas(cfg) and cfg.use_social:
+            # inference: the whole rank-refine loop as ONE fused Pallas
+            # kernel — the IOC iterations are ~80% of the unfused program's
+            # HBM traffic (see ops/ioc_fused.py). Training keeps the XLA
+            # path (gradients + per-iteration trajs for deep supervision).
+            from desire_tpu.ops.ioc_fused import ioc_refine_fused
+            msg = scf_mod.social_messages(params["scf"], dec_h)
+            refined, scores = ioc_refine_fused(
+                params["ioc"], params["scf"], traj, dec_h, msg, feat_map,
+                live, fut_mask, num_refine=cfg.num_refine,
+                delta_scale=ioc_mod._DELTA_SCALE)
+            per_iter = []
+        else:
+            refined, scores, per_iter = ioc_mod.ioc_forward(
+                params["ioc"], params["scf"], cfg, traj, dec_h, feat_map,
+                live, fut_mask)
         result.update(refined_traj=refined, scores=scores,
                       per_iter_trajs=per_iter)
     else:

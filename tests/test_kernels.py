@@ -182,3 +182,62 @@ def test_nll_kernel_gradients_match_reference():
     gx = jax.grad(lx)(raw5)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused IOC rank-and-refine kernel (ops/ioc_fused.py)
+# ---------------------------------------------------------------------------
+
+def _ioc_env(seed=0, b=2, a=5, k=3, t=6, d=16, g=8, c=8):
+    from desire_tpu.config import DesireConfig
+    from desire_tpu.models.ioc import init_ioc
+    from desire_tpu.models.scf import init_scf
+    cfg = DesireConfig(d_dim=d, scene_grid=g, scene_channels=c,
+                       num_refine=2, compute_dtype="float32",
+                       max_num_obj=a, num_samples=k, pred_len=t)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    p_ioc = init_ioc(ks[0], cfg)
+    # break the zero-init of delta/gate so refinement actually moves
+    p_ioc["delta"]["w"] = 0.3 * jax.random.normal(ks[1], (d, 2))
+    p_ioc["gate"]["w"] = 0.3 * jax.random.normal(ks[2], (d, 1))
+    p_scf = init_scf(ks[3], cfg)
+    traj = jax.random.uniform(ks[4], (b, a, k, t, 2), minval=0.2, maxval=0.8)
+    dec_h = jax.random.normal(ks[5], (b, a, k, t, d))
+    feat_map = jax.random.normal(ks[6], (b, g, g, c))
+    live = (jax.random.uniform(ks[7], (b, a)) > 0.3).astype(jnp.float32)
+    live = live.at[:, 0].set(1.0)           # at least one live agent
+    fut_mask = jnp.ones((b, a, t)).at[:, :, -1].set(0.0)
+    return cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask
+
+
+def test_fused_ioc_matches_xla_ioc_forward():
+    """The fused kernel reproduces ioc_forward (refined traj + scores) at
+    f32, including the final re-score-on-frozen-traj semantics."""
+    from desire_tpu.models.ioc import _DELTA_SCALE, ioc_forward
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    ref_traj, ref_scores, _ = ioc_forward(
+        p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+    msg = scf.social_messages(p_scf, dec_h)
+    out_traj, out_scores = ioc_refine_fused(
+        p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+        num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_traj), np.asarray(ref_traj),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_scores),
+                               np.asarray(ref_scores), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ioc_refinement_moves_and_masks():
+    """Deltas respect the future mask (masked step -> no movement) and the
+    loop actually refines (traj changes on unmasked steps)."""
+    from desire_tpu.models.ioc import _DELTA_SCALE
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    msg = scf.social_messages(p_scf, dec_h)
+    out_traj, _ = ioc_refine_fused(
+        p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+        num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE, interpret=True)
+    moved = np.abs(np.asarray(out_traj - traj))
+    np.testing.assert_allclose(moved[:, :, :, -1], 0.0, atol=1e-7)  # masked
+    assert moved[:, :, :, :-1].max() > 1e-4
