@@ -146,6 +146,7 @@ def breakdown(iters=10, warmup=3):
         ("sgm_only", dict(use_ioc=False, use_scf=False)),
         ("sgm_scf", dict(use_ioc=True, use_scf=True, num_refine=1)),
         ("full_refine4", dict()),
+        ("full_refine4_unfused_ioc", dict(use_pallas=False)),  # XLA IOC loop
         ("full_K50", dict(num_samples=50)),
         ("full_K12_train_shapes", dict(num_samples=12)),
     ]
