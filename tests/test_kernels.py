@@ -241,3 +241,25 @@ def test_fused_ioc_refinement_moves_and_masks():
     moved = np.abs(np.asarray(out_traj - traj))
     np.testing.assert_allclose(moved[:, :, :, -1], 0.0, atol=1e-7)  # masked
     assert moved[:, :, :, :-1].max() > 1e-4
+
+
+def test_fused_ioc_single_live_agent_zero_social():
+    """One live agent -> no neighbors -> the social block contributes
+    nothing, in both the kernel and the XLA path (dead-row zeroing)."""
+    from desire_tpu.models.ioc import _DELTA_SCALE, ioc_forward
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env(b=1)
+    live = jnp.zeros_like(live).at[:, 2].set(1.0)
+    ref_traj, ref_scores, _ = ioc_forward(
+        p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+    msg = scf.social_messages(p_scf, dec_h)
+    out_traj, out_scores = ioc_refine_fused(
+        p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+        num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE, interpret=True)
+    # compare the live agent's row (dead rows are masked downstream)
+    np.testing.assert_allclose(np.asarray(out_traj[:, 2]),
+                               np.asarray(ref_traj[:, 2]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_scores[:, 2]),
+                               np.asarray(ref_scores[:, 2]),
+                               rtol=2e-4, atol=2e-4)
