@@ -180,6 +180,8 @@ def breakdown(iters=10, warmup=3):
 
 
 def main():
+    from desire_tpu.utils.logging import enable_compile_cache
+    enable_compile_cache()
     cfg = flagship_cfg()
     traj_per_sec, dt, mfu, hbm = bench(cfg)
     steps_per_sec, train_dt, train_mfu, train_hbm = bench_train()
@@ -210,6 +212,8 @@ def main():
 
 if __name__ == "__main__":
     if "--breakdown" in sys.argv:
+        from desire_tpu.utils.logging import enable_compile_cache
+        enable_compile_cache()
         breakdown()
     else:
         main()

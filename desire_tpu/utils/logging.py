@@ -40,3 +40,17 @@ def profile_trace(log_dir: str):
     TensorBoard (SURVEY §5 tracing row)."""
     import jax
     return jax.profiler.trace(log_dir)
+
+
+def enable_compile_cache(path: str = "/tmp/jax_cache") -> None:
+    """Persistent XLA compilation cache for CLI runs (big-program recompiles
+    — e.g. the K=50 eval or remat training steps — cost minutes through the
+    remote-TPU compile service; cached reloads are seconds). Tests set the
+    same directory in conftest.py."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("DESIRE_CACHE_DIR", path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass   # older jax without the knobs: run uncached

@@ -35,6 +35,8 @@ _GEOMETRY_FIELDS = ("d_dim", "latent_size", "embedding_size", "rnn_size",
 
 
 def main(argv=None):
+    from desire_tpu.utils.logging import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_flags(parser)
     parser.set_defaults(**{f: None for f in _GEOMETRY_FIELDS})

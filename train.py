@@ -30,6 +30,8 @@ from desire_tpu.utils.logging import MetricLogger
 
 
 def main(argv=None):
+    from desire_tpu.utils.logging import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_flags(parser)
     parser.add_argument("--resume", type=int, default=0,
