@@ -251,6 +251,40 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
     return result
 
 
+def dump_trajectories(params, cfg: DesireConfig, loader, path, *,
+                      num_batches=4, k_samples=None, key=None) -> int:
+    """Write sampled trajectories for downstream use/visualization to an
+    .npz — the artifact the reference's ``DESIREModel.sample`` produced
+    in-process (model/model.py:613-688) but never persisted.
+
+    Arrays (N = num_batches * batch_size windows):
+      obs_xy (N, A, To, 2), obs_mask (N, A, To), fut_xy (N, A, Tf, 2),
+      fut_mask (N, A, Tf), traj (N, A, K, Tf, 2) all-K refined hypotheses,
+      scores (N, A, K) IOC scores, best (N, A, Tf, 2) ranked pick,
+      live (N, A), video (N,) loader video index, scale (N,) px/unit.
+    Returns the number of windows written."""
+    sampler = make_sampler(cfg, k_samples=k_samples)
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed + 2)
+    acc: dict = {}
+    for bi, batch in enumerate(loader.epoch_batches(0)):
+        if bi >= num_batches:
+            break
+        xy, mask, ids = batch_to_device(batch)
+        key, sub = jax.random.split(key)
+        out = sampler(params, xy, mask, ids, sub)
+        rec = {"obs_xy": out["obs_xy"], "obs_mask": out["obs_mask"],
+               "fut_xy": out["fut_xy"], "fut_mask": out["fut_mask"],
+               "traj": out["traj"], "scores": out["scores"],
+               "best": out["best"], "live": out["live"],
+               "video": batch.video, "scale": batch.scale}
+        for k, v in rec.items():
+            acc.setdefault(k, []).append(np.asarray(v))
+    if not acc:
+        return 0
+    np.savez_compressed(path, **{k: np.concatenate(v) for k, v in acc.items()})
+    return int(sum(a.shape[0] for a in acc["obs_xy"]))
+
+
 def make_rollout(cfg: DesireConfig, k_samples=None, stochastic=False):
     """Long-horizon autoregressive rollout — the capability analogue of the
     reference's ``DESIREModel.sample`` feed-back loop (model/model.py:643-685,

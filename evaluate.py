@@ -57,6 +57,12 @@ def main(argv=None):
                         help="comma-separated px/step boundaries (e.g. "
                              "'2,8,20') — adds an observed-speed-class error "
                              "breakdown (bikes vs walkers)")
+    parser.add_argument("--dump", type=str, default="",
+                        help="write sampled trajectories to this .npz "
+                             "(obs/fut/mask, all-K hypotheses, IOC scores, "
+                             "ranked-best, per-window video id + px scale)")
+    parser.add_argument("--dump_batches", type=int, default=4,
+                        help="number of batches to dump")
     parser.add_argument("--platform", type=str, default="")
     args = parser.parse_args(argv)
     if args.platform:
@@ -83,6 +89,12 @@ def main(argv=None):
         if got is None:
             raise SystemExit(f"no checkpoint found in {cfg.save_dir}")
         params = got[0].params
+
+    if args.dump:
+        from desire_tpu.eval.sampler import dump_trajectories
+        n = dump_trajectories(params, cfg, loader, args.dump,
+                              num_batches=args.dump_batches)
+        print(json.dumps({"dumped": args.dump, "windows": n}))
 
     horizons = tuple(float(h) for h in args.horizons.split(",") if h.strip())
     speed_bins = tuple(float(s) for s in args.speed_bins.split(",")

@@ -407,3 +407,23 @@ def test_rollout_long_horizon(env):
     np.testing.assert_allclose(np.asarray(out[:, :, :cfg.obs_len]),
                                np.asarray(obs_xy), rtol=1e-5)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_dump_trajectories(env, tmp_path):
+    from desire_tpu.eval.sampler import dump_trajectories
+    cfg, loader = env["cfg"], env["loader"]
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "dump.npz")
+    n = dump_trajectories(params, cfg, loader, path, num_batches=2)
+    assert n > 0
+    d = np.load(path)
+    b, a, to = n, cfg.max_num_obj, cfg.obs_len
+    assert d["obs_xy"].shape == (b, a, to, 2)
+    assert d["traj"].shape == (b, a, cfg.num_samples, cfg.pred_len, 2)
+    assert d["scores"].shape == (b, a, cfg.num_samples)
+    assert d["best"].shape == (b, a, cfg.pred_len, 2)
+    assert d["video"].shape == (b,) and d["scale"].shape == (b,)
+    # the ranked best is one of the K hypotheses
+    i = int(np.argmax(d["live"][0]))
+    diffs = np.abs(d["traj"][0, i] - d["best"][0, i][None]).max(axis=(1, 2))
+    assert diffs.min() < 1e-5
