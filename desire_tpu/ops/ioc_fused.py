@@ -13,7 +13,8 @@ msg/dec_h tiles (A,T,d), a (G^2,C) scene map, and the GRU weights — a few
 hundred KB. So the whole loop fits in VMEM.
 
 This kernel runs ALL of `ioc_forward` (num_refine iterations + the final
-re-score) for one (batch, hypothesis-lane) pair per grid program:
+re-score) for a CHUNK of KC hypothesis lanes of one batch row per grid
+program:
 
     for _ in range(num_refine):
         vel, scene, social = fuse_context(traj)        # in VMEM
@@ -23,30 +24,47 @@ re-score) for one (batch, hypothesis-lane) pair per grid program:
 
 HBM traffic for the whole stage drops to one read of traj/dec_h/msg/
 feat_map + one write of (refined traj, scores) — ~200 MB at flagship
-shapes vs ~40 GB for the unfused XLA program.
+shapes vs ~40 GB for the unfused XLA program. Lane chunking exists
+because the fused stage is LATENCY-bound, not byte-bound (unchunked:
+B*K=1280 programs x 5 passes x (12 attention + 12 GRU) sequential tiny
+ops = 175 ms full forward at 10% HBM / 3% MXU): KC lanes per program
+divides the sequential-op total by KC, with the per-step social
+attention over all KC lanes batched into ONE block-diagonal
+(KC*A, KC*A) masked softmax + ONE (KC*A, KC*A) @ (KC*A, d) matmul —
+cross-lane weights are masked to zero, so the block-diagonal matmul
+computes exactly the per-lane pools.
 
 Mosaic lessons encoded here (each was a compile failure or a
 compile-time explosion at A=60):
 * dynamic time indexing must land on a LEADING (untiled) dim — all
-  per-step state is time-major (T, A, ·);
-* positions are kept as separate x/y (T, A) planes: any tensor whose
-  minor dim is 2 (positions/velocities/deltas as (..., 2)) spends its
-  tile 126/128 empty and the relayouts around it blow up compile time
-  superlinearly in A (observed: 1.3 s at A=16 -> >9 min at A=60);
+  per-step state is time-major (T, rows, ·);
+* PAD RAGGED DIMS: at the SDD flagship's A=60 the layout search
+  degenerates (>9 min, killed) — padded to 64 the same kernel compiles
+  in 1.5 s. The wrapper pads agents to a sublane multiple (dead agents,
+  masked, sliced off on the way out);
+* positions are kept as separate x/y (T, rows) planes: any tensor whose
+  minor dim is 2 (positions as (..., 2)) spends its tile 126/128 empty
+  and the relayouts around it blow up compile time;
+* no lane<->sublane reshapes like (T, rows) -> (T*rows, 1) — they unroll
+  into per-element moves at compile time; columns are extracted per-step
+  with small (1, rows) <-> (rows, 1) transposes instead;
 * reductions may not produce 1-D (implicit-dim) outputs — keepdims, or
   reduce a full tensor and slice after;
 * no lane-dim concats at non-tile-aligned offsets — the input-gate
   projection distributes over the four feature blocks instead (which is
   also cheaper, and lets the iteration-invariant dec_h block hoist out
-  of the refinement loop).
+  of the refinement loop), and the per-lane masks are tiled by the
+  wrapper in XLA, never concatenated in-kernel.
 
 Semantics mirror models/ioc.py + models/scf.py exactly (same gate order
 as layers.gru_step, same align-corners bilinear pooling as
-scf.bilinear_pool — realized as an exact one-hot matmul, the technique
-of ops/scene_pool.py — same -1e9 masking + self-exclusion + dead-row
-zeroing as scf.social_pool, same final-re-score-on-frozen-traj). One
-deliberate deviation, a precision upgrade: squared distances and the
-softmax run in f32 even under bf16 compute.
+scf.bilinear_pool — realized as exact TENT weights over the flat grid,
+max(0,1-|x-gx|)*max(0,1-|y-gy|), the bilinear weights without the
+4-corner one-hot build that crashed the Mosaic compiler at (A*T, G^2) —
+same -1e9 masking + self-exclusion + dead-row zeroing as
+scf.social_pool, same final-re-score-on-frozen-traj). One deliberate
+deviation, a precision upgrade: squared distances and the softmax run
+in f32 even under bf16 compute.
 
 Inference-only: the XLA path in models/ioc.py remains the training path
 (this kernel defines no VJP; refinement gradients flow through the
@@ -78,92 +96,90 @@ def _kernel(tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             wiv_ref, wis_ref, wio_ref, wid_ref, wh_ref, bi_ref, bh_ref,
             heads_w_ref, heads_b_ref, ltau_ref,
             out_x_ref, out_y_ref, out_sc_ref,
-            msg_scr, soc_scr, scene_scr, gi_scr, hs_scr, x_scr, y_scr,
-            fmask_scr, h_scr,
-            *, num_refine, delta_scale, grid_g, cd):
-    t_len, a_dim = fmask_ref.shape[1], fmask_ref.shape[2]
+            gi_scr, hs_scr, x_scr, y_scr, fmask_scr, h_scr, gi_dec_scr,
+            *, num_refine, delta_scale, grid_g, cd, a_dim, kc):
+    t_len = fmask_ref.shape[1]
+    rows = kc * a_dim                       # lanes-in-chunk x agents
     d = wh_ref.shape[0]
     precision = _precision_for(cd)
 
-    dec = jnp.swapaxes(dec_ref[0, :, 0], 0, 1)            # (T, A, d)
+    # dec/msg arrive (1, 1, T, rows, d) — chunk-major from the wrapper;
+    # both are read per STEP from their refs (dynamic T index on a leading
+    # dim), never materialized whole
     fmap = fmap_ref[0]                                    # (G*G, C)
-    live = live_ref[0].astype(jnp.float32)                # (1, A)
-    # fmask lives in a scratch ref: per-step access needs pl.ds, and
-    # Mosaic cannot dynamic-slice a loaded VALUE (only refs)
+    live = live_ref[0].astype(jnp.float32)                # (1, rows) tiled
     tau = jnp.exp(ltau_ref[0, 0].astype(jnp.float32)) + 1e-4
 
     g2 = grid_g * grid_g
-    p_flat = a_dim * t_len
-    # bilinear sampling as TENT weights over the flat grid: the weight of
-    # grid node (gy, gx) for a position (x, y) is
-    #   max(0, 1-|x-gx|) * max(0, 1-|y-gy|)
-    # — exactly the 4-corner bilinear weights (align-corners, clipped), but
-    # ~3 elementwise ops instead of four one-hot compare/select rounds. The
-    # per-STEP (A, G^2) shape matters as much as the formula: a fully
-    # unrolled (A*T, G^2) build is ~15-20k native vector instructions and
-    # crashes/hangs the Mosaic compiler.
-    col = jax.lax.broadcasted_iota(jnp.int32, (a_dim, g2), 1)
+    p_flat = rows * t_len
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, g2), 1)
     col_y = (col // grid_g).astype(jnp.float32)
     col_x = (col - (col // grid_g) * grid_g).astype(jnp.float32)
 
-    def scene_step(x, y):
-        """(1, A) position planes -> (A, C) scene features at step t."""
-        xs = jnp.swapaxes(jnp.clip(x, 0.0, 1.0), 0, 1) * (grid_g - 1)
-        ys = jnp.swapaxes(jnp.clip(y, 0.0, 1.0), 0, 1) * (grid_g - 1)
+    def scene_step(xT, yT):
+        """(rows, 1) position columns -> (rows, C) scene features."""
+        xs = jnp.clip(xT, 0.0, 1.0) * (grid_g - 1)
+        ys = jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)
         hot = (jnp.maximum(0.0, 1.0 - jnp.abs(xs - col_x))
-               * jnp.maximum(0.0, 1.0 - jnp.abs(ys - col_y)))  # (A, G^2)
-        return _mm(hot, fmap, cd, precision)              # (A, C)
+               * jnp.maximum(0.0, 1.0 - jnp.abs(ys - col_y)))  # (rows, G^2)
+        return _mm(hot, fmap, cd, precision)              # (rows, C)
 
-    eye = jnp.eye(a_dim, dtype=bool)
-    livej = live > 0                                      # (1, A)
-    nb_ok = (jnp.sum((~eye & livej).astype(jnp.float32), axis=-1,
-                     keepdims=True) > 0).astype(jnp.float32)   # (A, 1)
+    # block-diagonal attention mask over the flat (lane, agent) rows:
+    # attend only within the same lane block, never to self or dead agents
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    c_id = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    excl = ((r_id // a_dim) != (c_id // a_dim)) | (r_id == c_id) | (
+        live <= 0)                                        # (rows, rows)
+    nb_ok = (jnp.sum(jnp.where(excl, 0.0, 1.0), axis=-1,
+                     keepdims=True) > 0).astype(jnp.float32)   # (rows, 1)
 
     wh = wh_ref[:]
     bi = bi_ref[:].astype(jnp.float32)
     bh = bh_ref[:].astype(jnp.float32)
-    gi_dec = _mm(dec.reshape(p_flat, d), wid_ref[:], cd, precision)
-
     wiv = wiv_ref[:].astype(jnp.float32)                  # (2, 3d)
 
-    def feat_step(t, _):
-        """Per-step context features at step t: social attention ->
-        soc_scr, tent-bilinear scene pooling -> scene_scr, and the
-        velocity block of the input projection -> gi_scr.
+    def dec_step(t, _):
+        # iteration-invariant dec_h projection (+bias), one step at a time:
+        # batched (T*rows, 3d) ops unroll into ~6x more native instructions
+        # (tile count), and TOTAL unrolled-instruction count is what blows
+        # Mosaic's compile time past the cliff
+        dec_t = dec_ref[0, 0, pl.ds(t, 1)][0]             # (rows, d)
+        gi_dec_scr[pl.ds(t, 1)] = (_mm(dec_t, wid_ref[:], cd, precision)
+                                   + bi)[None]
+        return 0
 
-        Social: f32 softmax; d2 via |yi|^2+|yj|^2-2 yi.yj with
-        per-coordinate outer products — no (A, A, 2) tensor, no 2-wide
-        contractions. Velocity runs here (not batched) because the batched
-        form needs a (T, A) -> (T*A, 1) reshape, and any reshape that moves
-        data between the lane and sublane dims unrolls into per-element
-        moves at Mosaic compile time — the skeleton with just those
-        reshapes took >9 min to compile at A=60."""
-        x = x_scr[pl.ds(t, 1)]                            # (1, A)
+    def feat_step(t, _):
+        """Per-step input gates for ALL kc lanes at once: block-diagonal
+        social attention + tent-bilinear scene pooling + velocity block,
+        all projected and summed into gi_scr in-place."""
+        x = x_scr[pl.ds(t, 1)]                            # (1, rows)
         y = y_scr[pl.ds(t, 1)]
-        xT = jnp.swapaxes(x, 0, 1)                        # (A, 1)
+        xT = jnp.swapaxes(x, 0, 1)                        # (rows, 1)
         yT = jnp.swapaxes(y, 0, 1)
-        sq = x * x + y * y                                # (1, A)
-        gram = xT * x + yT * y                            # (A, A) broadcast
+        sq = x * x + y * y                                # (1, rows)
+        gram = xT * x + yT * y                            # (rows, rows)
         d2 = jnp.swapaxes(sq, 0, 1) + sq - 2.0 * gram
-        logits = jnp.where(eye | ~livej, -1e9, -d2 / tau)
+        logits = jnp.where(excl, -1e9, -d2 / tau)
         w = jax.nn.softmax(logits, axis=-1) * nb_ok
-        mt = msg_scr[pl.ds(t, 1)][0]                      # (A, d)
-        soc_scr[pl.ds(t, 1)] = _mm(w, mt, cd, precision)[None]
-        scene_scr[pl.ds(t, 1)] = scene_step(x, y)[None]
+        mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(jnp.float32)  # (rows, d)
+        # cross-block weights are exactly 0 -> one matmul pools every lane
+        soc_t = _mm(w, mt, cd, precision)                 # (rows, d)
         tp = jnp.maximum(t - 1, 0)
-        vx = jnp.swapaxes(x - x_scr[pl.ds(tp, 1)], 0, 1)  # (A, 1); 0 at t=0
+        vx = jnp.swapaxes(x - x_scr[pl.ds(tp, 1)], 0, 1)  # (rows, 1); 0 @t=0
         vy = jnp.swapaxes(y - y_scr[pl.ds(tp, 1)], 0, 1)
-        gi_scr[pl.ds(t, 1)] = (vx * wiv[0:1] + vy * wiv[1:2])[None]
+        gi_scr[pl.ds(t, 1)] = (
+            vx * wiv[0:1] + vy * wiv[1:2]
+            + _mm(scene_step(xT, yT), wis_ref[:], cd, precision)
+            + _mm(soc_t, wio_ref[:], cd, precision)
+            + gi_dec_scr[pl.ds(t, 1)][0])[None]
         return 0
 
     def gru_step(t, _):
-        # the recurrent state lives in h_scr, NOT in the fori carry: a
-        # loop-carried (A, d) vector value makes Mosaic's compile time
-        # explode once the surrounding body is non-trivial (hours at
-        # A=60); the same state through a VMEM scratch compiles in seconds
+        # recurrent state via h_scr, not a fori carry (loop-carried vector
+        # values interact badly with Mosaic's layout search)
         h = h_scr[:]
         gh = _mm(h, wh, cd, precision) + bh
-        gi_t = gi_scr[pl.ds(t, 1)][0]                     # (A, 3d)
+        gi_t = gi_scr[pl.ds(t, 1)][0]                     # (rows, 3d)
         i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = jax.nn.sigmoid(i_r + h_r)
@@ -175,33 +191,22 @@ def _kernel(tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
         return 0
 
     def fuse_and_gru():
-        """One full pass at (x_scr, y_scr) positions -> hs_scr filled.
-
-        feat_step seeds gi_scr with the velocity block; the batched terms
-        use only contiguous (T, A, d) -> (T*A, d) reshapes (minor dims
-        untouched — the benign kind)."""
+        """One full pass at (x_scr, y_scr) positions -> hs_scr filled."""
         jax.lax.fori_loop(0, t_len, feat_step, 0)
-        gi = (gi_scr[:].reshape(p_flat, 3 * d)
-              + _mm(scene_scr[:].reshape(p_flat, -1), wis_ref[:], cd,
-                    precision)
-              + _mm(soc_scr[:].reshape(p_flat, d), wio_ref[:], cd, precision)
-              + gi_dec + bi)
-        gi_scr[:] = gi.reshape(t_len, a_dim, 3 * d)
-        h_scr[:] = jnp.zeros((a_dim, d), jnp.float32)
+        h_scr[:] = jnp.zeros((rows, d), jnp.float32)
         jax.lax.fori_loop(0, t_len, gru_step, 0)
 
     # heads packed (by the wrapper) into one (d, 4) matmul:
-    # [score | gate | delta_x | delta_y]. Applied per STEP: the batched
-    # form's (P, 1) <-> (T, A) column reshapes are lane<->sublane moves
-    # (see feat_step comment).
+    # [score | gate | delta_x | delta_y], applied per step — the batched
+    # form's (P, 1) <-> (T, rows) column reshapes are lane<->sublane moves
     heads_w = heads_w_ref[:]
     heads_b = heads_b_ref[:].astype(jnp.float32)
 
     def delta_step(t, _):
         out = _mm(hs_scr[pl.ds(t, 1)][0], heads_w, cd,
-                  precision) + heads_b                    # (A, 4)
+                  precision) + heads_b                    # (rows, 4)
         gate = jax.nn.sigmoid(out[:, 1:2])
-        dx = jnp.swapaxes(jnp.tanh(out[:, 2:3]) * gate, 0, 1)  # (1, A)
+        dx = jnp.swapaxes(jnp.tanh(out[:, 2:3]) * gate, 0, 1)  # (1, rows)
         dy = jnp.swapaxes(jnp.tanh(out[:, 3:4]) * gate, 0, 1)
         m = fmask_scr[pl.ds(t, 1)] * delta_scale
         x_scr[pl.ds(t, 1)] = x_scr[pl.ds(t, 1)] + dx * m
@@ -210,19 +215,19 @@ def _kernel(tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
 
     def score_step(t, acc):
         out = _mm(hs_scr[pl.ds(t, 1)][0], heads_w, cd,
-                  precision) + heads_b                    # (A, 4)
-        psi = jnp.swapaxes(out[:, 0:1], 0, 1)             # (1, A)
+                  precision) + heads_b                    # (rows, 4)
+        psi = jnp.swapaxes(out[:, 0:1], 0, 1)             # (1, rows)
         return acc + psi * fmask_scr[pl.ds(t, 1)]
 
     x_scr[:] = tx_ref[0, 0].astype(jnp.float32)
     y_scr[:] = ty_ref[0, 0].astype(jnp.float32)
     fmask_scr[:] = fmask_ref[0].astype(jnp.float32)
-    msg_scr[:] = jnp.swapaxes(msg_ref[0, :, 0], 0, 1).astype(jnp.float32)
+    jax.lax.fori_loop(0, t_len, dec_step, 0)
 
     # num_refine+1 passes with ONE fuse_and_gru instantiation: the final
     # pass skips the delta application (= ioc_forward's re-score of the
-    # frozen refined trajectory). Two separate call sites double the
-    # kernel body and push Mosaic's compile time over a cliff.
+    # frozen refined trajectory). Two call sites double the kernel body
+    # and push Mosaic's compile time over a cliff.
     def refine_iter(i, carry):
         fuse_and_gru()
 
@@ -232,12 +237,22 @@ def _kernel(tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
         return carry
 
     jax.lax.fori_loop(0, num_refine + 1, refine_iter, 0)
-    # hs_scr now holds the final pass -> accumulate the scores from it
+    # hs_scr holds the final pass -> accumulate the scores from it
     scores = jax.lax.fori_loop(0, t_len, score_step,
-                               jnp.zeros((1, a_dim), jnp.float32))
+                               jnp.zeros((1, rows), jnp.float32))
     out_x_ref[0, 0] = x_scr[:]
     out_y_ref[0, 0] = y_scr[:]
     out_sc_ref[0, 0] = scores
+
+
+def _pick_chunk(k, a_pad, max_rows=320):
+    """Largest divisor of K whose chunk keeps rows = KC*A_pad <= max_rows
+    (VMEM budget: the (T, rows, 3d) gate scratch is the biggest buffer)."""
+    best = 1
+    for kc in range(1, k + 1):
+        if k % kc == 0 and kc * a_pad <= max_rows:
+            best = kc
+    return best
 
 
 def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
@@ -249,10 +264,7 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     Returns (refined_traj (B, A, K, T, 2) f32, scores (B, A, K) f32).
     """
     b, a, k, t, _ = traj.shape
-    # pad the agent axis to a sublane multiple: at ragged A (e.g. the SDD
-    # flagship's 60) Mosaic's layout search degenerates — the same kernel
-    # compiles in 1.5 s at A=64 and was killed after >9 min at A=60. Pad
-    # agents are dead (live=0, fut_mask=0) and sliced off on the way out.
+    # pad the agent axis to a sublane multiple (see module docstring)
     a_orig = a
     a_pad = max(-(-a // 8) * 8, 8)
     if a_pad != a:
@@ -269,14 +281,29 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     c = feat_map.shape[-1]
     gp = p_ioc["gru"][0]
     cd = dec_h.dtype
+    kc = _pick_chunk(k, a)
+    chunks = k // kc
+    rows = kc * a
     fmap_flat = feat_map.reshape(b, g * g, c)
     ltau = p_scf["soc_logtau"].reshape(1, 1).astype(jnp.float32)
-    # positions enter/leave the kernel as separate x/y (B, K, T, A) planes
-    # (see the layout lessons in the module docstring); XLA does these
-    # transposes once, outside the refinement loop
-    tkta = jnp.transpose(traj.astype(jnp.float32), (0, 2, 3, 1, 4))
-    tx, ty = tkta[..., 0], tkta[..., 1]                   # (B, K, T, A)
-    fmask_t = jnp.swapaxes(fut_mask, 1, 2)                # (B, T, A)
+
+    def to_chunk_major(arr):
+        """(B, A, K, T, ·) -> (B, chunks, T, KC*A, ·) — lane-chunk-major
+        rows; XLA does these transposes once, outside the refine loop."""
+        trailing = arr.shape[4:]
+        arr = arr.reshape(b, a, chunks, kc, t, *trailing)
+        arr = jnp.moveaxis(arr, (2, 4, 3, 1), (1, 2, 3, 4))
+        return arr.reshape(b, chunks, t, rows, *trailing)
+
+    tkta = to_chunk_major(traj.astype(jnp.float32))       # (B,Ch,T,rows,2)
+    tx, ty = tkta[..., 0], tkta[..., 1]
+    dec_cm = to_chunk_major(dec_h)
+    msg_cm = to_chunk_major(msg)
+    # per-row masks, tiled across the KC lanes of a chunk in XLA (the
+    # kernel must not concatenate along lanes)
+    live_t = jnp.tile(live, (1, kc))[:, None, :]          # (B, 1, rows)
+    fmask_t = jnp.tile(jnp.swapaxes(fut_mask, 1, 2), (1, 1, kc))  # (B,T,rows)
+
     # split the input-gate matrix by feature block (fuse_context layout:
     # [vel(2) | scene(C) | social(d) | dec_h(d)]) and pack the three heads
     wi = gp["wi"]
@@ -290,25 +317,26 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
 
     kernel = functools.partial(
         _kernel, num_refine=int(num_refine),
-        delta_scale=float(delta_scale), grid_g=int(g), cd=cd)
+        delta_scale=float(delta_scale), grid_g=int(g), cd=cd,
+        a_dim=a, kc=kc)
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
-    lane5 = lambda bi, ki: (bi, 0, ki, 0, 0)  # (B, A, K, T, ·) blocks
-    plane = lambda bi, ki: (bi, ki, 0, 0)     # (B, K, T, A) planes
-    per_b = lambda bi, ki: (bi, 0, 0)
+    plane = lambda bi, ci: (bi, ci, 0, 0)     # (B, Ch, T, rows) planes
+    block5 = lambda bi, ci: (bi, ci, 0, 0, 0)
+    per_b = lambda bi, ci: (bi, 0, 0)
     out_x, out_y, scores = pl.pallas_call(
         kernel,
-        grid=(b, k),
+        grid=(b, chunks),
         in_specs=[
-            bk((1, 1, t, a), plane),                         # traj x
-            bk((1, 1, t, a), plane),                         # traj y
-            bk((1, a, 1, t, d), lane5),                      # dec_h
-            bk((1, a, 1, t, d), lane5),                      # msg
+            bk((1, 1, t, rows), plane),                      # traj x
+            bk((1, 1, t, rows), plane),                      # traj y
+            bk((1, 1, t, rows, d), block5),                  # dec_h
+            bk((1, 1, t, rows, d), block5),                  # msg
             bk((1, g * g, c), per_b),                        # feat_map
-            bk((1, 1, a), per_b),                            # live (B, 1, A)
-            bk((1, t, a), per_b),                            # fut_mask (T-maj)
+            bk((1, 1, rows), per_b),                         # live (tiled)
+            bk((1, t, rows), per_b),                         # fut_mask
             bk(None, None),                                  # wi_v
             bk(None, None),                                  # wi_s
             bk(None, None),                                  # wi_o
@@ -318,35 +346,41 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
             bk(None, None),                                  # bh
             bk(None, None),                                  # heads_w
             bk(None, None),                                  # heads_b
-            pl.BlockSpec((1, 1), lambda bi, ki: (0, 0),
+            pl.BlockSpec((1, 1), lambda bi, ci: (0, 0),
                          memory_space=pltpu.SMEM),           # log-tau
         ],
         out_specs=[
-            bk((1, 1, t, a), plane),
-            bk((1, 1, t, a), plane),
-            bk((1, 1, 1, a), lambda bi, ki: (bi, ki, 0, 0)), # scores
+            bk((1, 1, t, rows), plane),
+            bk((1, 1, t, rows), plane),
+            bk((1, 1, 1, rows), lambda bi, ci: (bi, ci, 0, 0)),  # scores
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, k, t, a), jnp.float32),
-            jax.ShapeDtypeStruct((b, k, t, a), jnp.float32),
-            jax.ShapeDtypeStruct((b, k, 1, a), jnp.float32),
+            jax.ShapeDtypeStruct((b, chunks, t, rows), jnp.float32),
+            jax.ShapeDtypeStruct((b, chunks, t, rows), jnp.float32),
+            jax.ShapeDtypeStruct((b, chunks, 1, rows), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((t, a, d), jnp.float32),        # social messages
-            pltpu.VMEM((t, a, d), jnp.float32),        # social context
-            pltpu.VMEM((t, a, c), jnp.float32),        # scene features
-            pltpu.VMEM((t, a, 3 * d), jnp.float32),    # input gates
-            pltpu.VMEM((t, a, d), jnp.float32),        # GRU hiddens
-            pltpu.VMEM((t, a), jnp.float32),           # x plane
-            pltpu.VMEM((t, a), jnp.float32),           # y plane
-            pltpu.VMEM((t, a), jnp.float32),           # future mask
-            pltpu.VMEM((a, d), jnp.float32),           # GRU state
+            pltpu.VMEM((t, rows, 3 * d), jnp.float32),  # input gates
+            pltpu.VMEM((t, rows, d), jnp.float32),     # GRU hiddens
+            pltpu.VMEM((t, rows), jnp.float32),        # x plane
+            pltpu.VMEM((t, rows), jnp.float32),        # y plane
+            pltpu.VMEM((t, rows), jnp.float32),        # future mask
+            pltpu.VMEM((rows, d), jnp.float32),        # GRU state
+            pltpu.VMEM((t, rows, 3 * d), jnp.float32),  # dec_h projection
         ],
         interpret=interpret,
-    )(tx, ty, dec_h, msg, fmap_flat, live[:, None, :], fmask_t,
+    )(tx, ty, dec_cm, msg_cm, fmap_flat, live_t, fmask_t,
       wi_v, wi_s, wi_o, wi_d, gp["wh"], gp["bi"], gp["bh"],
       heads_w, heads_b, ltau)
-    refined = jnp.stack([out_x, out_y], axis=-1)          # (B, K, T, A, 2)
-    refined = jnp.transpose(refined, (0, 3, 1, 2, 4))     # (B, A, K, T, 2)
-    return (refined[:, :a_orig],
-            jnp.moveaxis(scores[:, :, 0], 1, 2)[:, :a_orig])   # (B, A, K)
+
+    def from_chunk_major(arr):
+        """(B, chunks, T, KC*A, ·) -> (B, A, K, T, ·)."""
+        trailing = arr.shape[4:]
+        arr = arr.reshape(b, chunks, t, kc, a, *trailing)
+        arr = jnp.moveaxis(arr, (4, 1, 3, 2), (1, 2, 3, 4))
+        return arr.reshape(b, a, k, t, *trailing)
+
+    refined = from_chunk_major(jnp.stack([out_x, out_y], axis=-1))
+    sc = scores.reshape(b, chunks, kc, a)                 # (B, Ch, KC, A)
+    sc = jnp.moveaxis(sc, 3, 1).reshape(b, a, k)
+    return refined[:, :a_orig], sc[:, :a_orig]
