@@ -44,10 +44,24 @@ class DesireConfig:
     stride: int = 1              # temporal-conv stride (train.py:87-88)
 
     # ---- promoted from hardcoded reference constants ----
-    num_samples: int = 12        # K hypothesis lanes at TRAIN time (reference
+    num_samples: int = 20        # K hypothesis lanes at TRAIN time (reference
     #                              hardcodes 7, model.py:280; eval draws its
-    #                              own K). 12 is the headline-recipe value —
-    #                              `python train.py` reproduces RESULTS.md.
+    #                              own K). 20 is the round-3 unified recipe:
+    #                              more train lanes buy ranking/calibration
+    #                              quality (measured round 2: K=50-trained had
+    #                              the best ranked-pick percentile and PIT),
+    #                              while variety_k keeps the best-of-K oracle
+    #                              gradient as concentrated as K=12 training.
+    variety_k: int = 12          # min-aggregated (variety) losses take the
+    #                              min over a RANDOM variety_k-lane subset per
+    #                              agent per step instead of all K lanes
+    #                              (0 = all lanes). Decouples "how many lanes
+    #                              the ranker trains on" (num_samples) from
+    #                              "how concentrated the best-of-K gradient
+    #                              is": min over many lanes means the winner
+    #                              rotates and each lane's head sees little
+    #                              pull (measured round 2: K=50-trained oracle
+    #                              15.74 px vs K=12-trained 14.84 px @K=50)
     channel_multiplier: int = 100  # temporal-conv feature multiplier (model.py:46)
 
     # ---- paper-protocol data flags (absent from the reference; see SURVEY §5) ----
@@ -58,9 +72,20 @@ class DesireConfig:
     normalize: bool = True       # per-scene [0,1] coordinate normalization
     window_hop: int = 2          # sampled-step stride between training windows
     scenes: str = ""             # comma-separated scene filter ('' = all)
-    eval_scenes: str = ""        # held-out scenes for eval ('' = eval on
-    #                              the training stream); generalizes the
+    eval_scenes: str = ""        # held-out scenes for eval ('' = use the
+    #                              `holdout` video split); generalizes the
     #                              reference's leave_dataset holdout intent
+    holdout: str = "video"       # train/test separation (the reference's
+    #                              leave_dataset intent, train.py:77-78):
+    #                              'video' holds out the lexicographically
+    #                              LAST video of every scene that has >= 2
+    #                              videos — training never sees it, eval
+    #                              defaults to it; 'none' = no split (eval
+    #                              runs in-sample, pre-round-3 behavior)
+    eval_hop: int = 4            # window hop for held-out eval loaders —
+    #                              wider than the training hop so eval
+    #                              windows overlap less (hop-2 agent-windows
+    #                              are heavily correlated; n is reported)
 
     # ---- DESIRE modules missing from the reference (north star) ----
     use_ioc: bool = True         # IOC ranking & refinement module
@@ -90,7 +115,7 @@ class DesireConfig:
     #                              decoder velocities are tanh-squashed to
     #                              +-vel_scale, keeping hypotheses physical
     #                              even for out-of-distribution prior draws
-    speed_norm: bool = False     # speed-adaptive residual bound: replaces the
+    speed_norm: bool = True      # speed-adaptive residual bound: replaces the
     #                              fixed vel_scale bound with
     #                              vel_gain*observed_speed + vel_floor per
     #                              agent, so the same head weights express
@@ -98,10 +123,37 @@ class DesireConfig:
     #                              (~25 px/step) corrections. Motivated by the
     #                              round-2 speed-class analysis: fast agents
     #                              (>=20 px/step) carried 4-5x the error of
-    #                              slow ones on the bike-heavy scenes
+    #                              slow ones on the bike-heavy scenes. Default
+    #                              ON since round 3 — the round-2 headline
+    #                              recipe used it (defaults now match the
+    #                              documented recipe, VERDICT r2 item 5)
     vel_gain: float = 2.0        # bound = vel_gain * speed + vel_floor ...
     vel_floor: float = 0.004     # ... (scene units/step); floor lets near-
     #                              stationary agents still accelerate
+    learn_bound: bool = True     # make vel_gain/vel_floor LEARNED scalars
+    #                              (initialized at the config values): training
+    #                              calibrates the residual envelope instead of
+    #                              trusting the hand-picked 2.0/0.004
+    cond_prior: bool = True      # conditional CVAE prior p(z|X): a zero-init
+    #                              head on the past encoding emits
+    #                              (mu_p, logvar_p); KLD pulls the posterior
+    #                              toward THIS prior and inference draws
+    #                              z ~ p(z|X) instead of N(0, I). The paper's
+    #                              standard-normal prior makes prior draws
+    #                              blind to the agent (a bike and a standing
+    #                              pedestrian share one hypothesis
+    #                              distribution) — the round-2 fast-agent gap.
+    #                              Zero-init = starts exactly at N(0, I)
+    vae_dec: str = "mlp"         # latent -> mask decoder: 'mlp' (default) or
+    #                              'conv' (the reference's 4-deconv stack,
+    #                              model/model.py:453-469). The deconv path
+    #                              decodes every (agent, lane) through a fake
+    #                              32x32 'image' only to collapse it to d mask
+    #                              logits — ~50x the FLOPs and ~all of the SGM
+    #                              stage's HBM bytes at K=20 (31 of 87.7 ms,
+    #                              RESULTS r2 roofline) for a tensor nothing
+    #                              consumes spatially. 'conv' is kept for
+    #                              reference-geometry parity runs
     recon_agg: str = "min"       # NLL aggregation over K lanes: 'min' =
     #                              best-of-K / variety loss (optimizes the
     #                              minADE metric and resists lane collapse);
@@ -121,6 +173,12 @@ class DesireConfig:
     # ---- TPU execution ----
     compute_dtype: str = "bfloat16"  # activations dtype; params/optimizer stay fp32
     use_pallas: bool = True          # fused Pallas kernels on TPU (pure-XLA fallback off-TPU)
+    fused_train: bool = True     # TRAIN with the fused IOC kernel forward
+    #                              (custom_vjp: Pallas forward + one XLA
+    #                              recompute in the backward — gradients are
+    #                              exactly the XLA path's; ops/ioc_fused.py
+    #                              make_trainable_fused_ioc). Single-device
+    #                              only; meshes keep the XLA training path
     remat: bool = False          # jax.checkpoint the lane-parallel memory
     #                              hogs — each IOC iteration (its (B,K*T,A,A)
     #                              social-attention activations) and the
@@ -142,6 +200,10 @@ class DesireConfig:
     def __post_init__(self):
         if self.model != "gru":
             raise ValueError(f"only 'gru' is implemented (got {self.model!r})")
+        if self.holdout not in ("none", "video"):
+            raise ValueError(f"holdout must be 'none'|'video' (got {self.holdout!r})")
+        if self.vae_dec not in ("mlp", "conv"):
+            raise ValueError(f"vae_dec must be 'mlp'|'conv' (got {self.vae_dec!r})")
         side = int(math.isqrt(2 * self.rnn_size))
         if side * side != 2 * self.rnn_size:
             raise ValueError(

@@ -29,6 +29,22 @@ from desire_tpu.config import DesireConfig
 from desire_tpu.data import preprocess, windows
 
 
+def heldout_videos(rels: list[str]) -> set[str]:
+    """The deterministic held-out video set (config.py holdout='video').
+
+    Generalizes the reference's ``leave_dataset`` train/test-separation
+    intent (/root/reference/train.py:77-78, utils/data_loader.py:91) from
+    "skip dataset index N" to a reproducible per-scene video holdout: the
+    lexicographically LAST video of every scene that has >= 2 videos. Scenes
+    with a single checked-in video stay fully in training (holding them out
+    would delete the scene from the train distribution).
+    """
+    by_scene: dict[str, list[str]] = {}
+    for rel in rels:
+        by_scene.setdefault(rel.split("/")[0], []).append(rel)
+    return {sorted(v)[-1] for v in by_scene.values() if len(v) >= 2}
+
+
 @dataclasses.dataclass
 class Batch:
     """One device-ready training batch (numpy, host-side)."""
@@ -60,7 +76,10 @@ class SDDLoader:
 
     def __init__(self, cfg: DesireConfig, data_dir: str | None = None,
                  max_videos: int | None = None, use_native: bool = True,
-                 drop_remainder: bool = True):
+                 drop_remainder: bool = True, split: str | None = None):
+        """split: None = all videos (pre-round-3 behavior); 'train' /
+        'heldout' = the two sides of the holdout partition (heldout_videos;
+        requires cfg.holdout != 'none')."""
         self.cfg = cfg
         self.data_dir = data_dir or cfg.data_dir
         scene_filter = {s for s in cfg.scenes.split(",") if s} or None
@@ -70,13 +89,28 @@ class SDDLoader:
         self.obs_len = cfg.obs_len if cfg.protocol == "paper" else cfg.seq_length
         self.require_full_obs = cfg.protocol == "paper"
         self.drop_remainder = drop_remainder
+        self.split = split
+
+        listing = [(rel, path) for rel, path
+                   in preprocess.iter_video_csvs(self.data_dir, max_videos)
+                   if not scene_filter or rel.split("/")[0] in scene_filter]
+        if split is not None:
+            if split not in ("train", "heldout"):
+                raise ValueError(f"split must be 'train'|'heldout' (got {split!r})")
+            if cfg.holdout == "none":
+                raise ValueError("split requested but cfg.holdout == 'none'")
+            held = heldout_videos([rel for rel, _ in listing])
+            if not held:
+                raise FileNotFoundError(
+                    "holdout='video' needs at least one scene with >= 2 "
+                    f"videos under {self.data_dir}")
+            keep = (lambda rel: rel in held) if split == "heldout" \
+                else (lambda rel: rel not in held)
+            listing = [(rel, path) for rel, path in listing if keep(rel)]
 
         reader = _native_or_python_reader(use_native)
         self.videos: list[windows.VideoIndex] = []
-        for rel, path in preprocess.iter_video_csvs(self.data_dir, max_videos):
-            scene = rel.split("/")[0]
-            if scene_filter and scene not in scene_filter:
-                continue
+        for rel, path in listing:
             frames, ids, xs, ys = reader(path)
             vi = windows.build_video_index(
                 rel, frames, ids, np.stack([xs, ys], -1),

@@ -161,21 +161,11 @@ def ranking_quality(scores, pred, gt, step_mask, agent_mask):
                  chance = 0.5 - 0.5/K.
       corr     — masked-mean per-agent Pearson correlation between scores
                  and -ADE across lanes (1 = perfect ranking signal).
+
+    Aggregates per_agent_ranking (single source of the per-agent math —
+    ADVICE r2: the two diagnostics must not drift).
     """
-    d = jnp.linalg.norm(pred - gt[..., None, :, :], axis=-1)   # (B,A,K,T)
-    m = step_mask[..., None, :]
-    ade = jnp.sum(d * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1e-8)
-    k = ade.shape[-1]
-    pick = jnp.argmax(scores, axis=-1)                          # (B, A)
-    picked_ade = jnp.take_along_axis(ade, pick[..., None], -1)[..., 0]
-    # percentile = fraction of lanes strictly better than the picked one
-    better = jnp.sum((ade < picked_ade[..., None]).astype(jnp.float32), -1)
-    top1_pct = better / max(k - 1, 1)
-    zs = (scores - scores.mean(-1, keepdims=True)) / (
-        scores.std(-1, keepdims=True) + 1e-8)
-    zd = (ade - ade.mean(-1, keepdims=True)) / (ade.std(-1, keepdims=True)
-                                                + 1e-8)
-    corr = jnp.mean(-zs * zd, axis=-1)                          # (B, A)
+    top1_pct, corr = per_agent_ranking(scores, pred, gt, step_mask)
     valid = agent_mask * (jnp.sum(step_mask, axis=-1) > 0)
     return (losses.masked_mean(top1_pct, valid),
             losses.masked_mean(corr, valid), jnp.sum(valid))

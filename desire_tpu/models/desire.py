@@ -83,6 +83,10 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
         "z_mu": None if out["z_mu"] is None else out["z_mu"].reshape(b, a, -1),
         "z_logvar": (None if out["z_logvar"] is None
                      else out["z_logvar"].reshape(b, a, -1)),
+        "zp_mu": (None if out["zp_mu"] is None
+                  else out["zp_mu"].reshape(b, a, -1)),
+        "zp_logvar": (None if out["zp_logvar"] is None
+                      else out["zp_logvar"].reshape(b, a, -1)),
         "live": live,
         "obs_xy": obs_xy, "fut_xy": fut_xy,
         "obs_mask": obs_mask, "fut_mask": fut_mask,
@@ -101,18 +105,46 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
             cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
             feat_map = jnp.zeros(
                 (b, cfg.scene_grid, cfg.scene_grid, cfg.scene_channels), cd)
-        if not train and ops.use_pallas(cfg) and cfg.use_social:
+        meshed = cfg.mesh_data * cfg.mesh_k > 1
+        fused_train_ok = (train and cfg.fused_train and ops.use_pallas(cfg)
+                          and cfg.use_social and not meshed)
+        fused_ok = (not train and ops.use_pallas(cfg) and cfg.use_social
+                    # under a mesh the kernel must go through shard_map
+                    # (XLA cannot partition a pallas_call); shard_map needs
+                    # the batch/lane dims to divide the mesh axes
+                    and (not meshed or (b % cfg.mesh_data == 0
+                                        and K % cfg.mesh_k == 0)))
+        if fused_ok:
             # inference: the whole rank-refine loop as ONE fused Pallas
             # kernel — the IOC iterations are ~80% of the unfused program's
-            # HBM traffic (see ops/ioc_fused.py). Training keeps the XLA
-            # path (gradients + per-iteration trajs for deep supervision).
-            from desire_tpu.ops.ioc_fused import ioc_refine_fused
+            # HBM traffic (see ops/ioc_fused.py). num_refine clamps to >= 1
+            # exactly like ioc_forward (ADVICE r2: the paths must agree at
+            # num_refine=0).
+            from desire_tpu.ops.ioc_fused import (ioc_refine_fused,
+                                                  ioc_refine_fused_sharded)
             msg = scf_mod.social_messages(params["scf"], dec_h)
-            refined, scores = ioc_refine_fused(
-                params["ioc"], params["scf"], traj, dec_h, msg, feat_map,
-                live, fut_mask, num_refine=cfg.num_refine,
-                delta_scale=ioc_mod._DELTA_SCALE)
+            kw = dict(num_refine=max(cfg.num_refine, 1),
+                      delta_scale=ioc_mod._DELTA_SCALE)
+            if meshed:
+                from desire_tpu.parallel import mesh as mesh_mod
+                refined, scores = ioc_refine_fused_sharded(
+                    mesh_mod.make_mesh(cfg.mesh_data, cfg.mesh_k),
+                    params["ioc"], params["scf"], traj, dec_h, msg,
+                    feat_map, live, fut_mask, **kw)
+            else:
+                refined, scores = ioc_refine_fused(
+                    params["ioc"], params["scf"], traj, dec_h, msg,
+                    feat_map, live, fut_mask, **kw)
             per_iter = []
+        elif fused_train_ok:
+            # training: fused Pallas forward + XLA-recompute backward
+            # (custom_vjp — gradients identical to the XLA path); per_iter
+            # comes out of the kernel for the deep-supervision reg loss
+            from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
+            refined, scores, iters = make_trainable_fused_ioc(cfg)(
+                params["ioc"], params["scf"], traj, dec_h, feat_map,
+                live, fut_mask)
+            per_iter = list(iters)
         else:
             refined, scores, per_iter = ioc_mod.ioc_forward(
                 params["ioc"], params["scf"], cfg, traj, dec_h, feat_map,
@@ -136,6 +168,7 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
     which directly optimizes the minADE@K headline metric and structurally
     resists hypothesis collapse.
     """
+    key, k_lanes = jax.random.split(key)
     out = desire_forward(params, cfg, xy, mask, ids, key=key,
                          k_samples=k_samples, train=True)
     fut_xy, fut_mask, live = out["fut_xy"], out["fut_mask"], out["live"]
@@ -160,16 +193,34 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
             raw5, fut_xy[:, :, None].astype(f32),
             step_mask=fut_mask[:, :, None].astype(f32))
         nll_per_lane = jnp.sum(nll_steps, axis=-1)        # sum over steps (C14)
+    # variety-subset lanes (config.py variety_k): min-aggregated losses see
+    # a random variety_k-lane subset per agent per step — the best-of-K
+    # gradient stays as concentrated as small-K training while the ranking
+    # CE below still trains on all K lanes. Implemented as a +1e9 penalty on
+    # the excluded lanes before every min.
+    lane_pen = None
+    if cfg.recon_agg == "min" and 0 < cfg.variety_k < K:
+        u = jax.random.uniform(k_lanes, (b, a, K))
+        kth = jnp.sort(u, axis=-1)[..., cfg.variety_k - 1, None]
+        lane_pen = jnp.where(u <= kth, 0.0, 1e9).astype(f32)   # (B, A, K)
     if cfg.recon_agg == "min":
-        nll_agg = jnp.min(nll_per_lane, axis=-1)
+        nll_agg = jnp.min(nll_per_lane if lane_pen is None
+                          else nll_per_lane + lane_pen, axis=-1)
     else:
         nll_agg = jnp.mean(nll_per_lane, axis=-1)
     nll = losses.masked_mean(nll_agg, live)
 
-    kld = losses.masked_mean(
-        losses.kld_normal(out["z_mu"].astype(f32), out["z_logvar"].astype(f32),
-                          free_bits=cfg.kld_free_bits),
-        live)
+    if out["zp_mu"] is not None:
+        # conditional prior p(z|X): KL(q(z|X,Y) || p(z|X)) (cond_prior)
+        kld_per = losses.kld_gaussians(
+            out["z_mu"].astype(f32), out["z_logvar"].astype(f32),
+            out["zp_mu"].astype(f32), out["zp_logvar"].astype(f32),
+            free_bits=cfg.kld_free_bits)
+    else:
+        kld_per = losses.kld_normal(
+            out["z_mu"].astype(f32), out["z_logvar"].astype(f32),
+            free_bits=cfg.kld_free_bits)
+    kld = losses.masked_mean(kld_per, live)
     w_kld = cfg.w_kld
     if cfg.kld_warmup and step is not None:
         w_kld = w_kld * jnp.clip(step / cfg.kld_warmup, 0.0, 1.0)
@@ -187,7 +238,8 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
         for t in out["per_iter_trajs"]:
             reg = reg + losses.refine_regression_loss(
                 t.astype(f32), fut_xy.astype(f32), live_t,
-                step_mask=fut_mask.astype(f32), agg=cfg.recon_agg)
+                step_mask=fut_mask.astype(f32), agg=cfg.recon_agg,
+                lane_penalty=lane_pen)
         reg = reg / max(len(out["per_iter_trajs"]), 1)
         # trust region: keep every lane's refinement near its SGM hypothesis
         delta2 = jnp.sum(jnp.square(out["refined_traj"].astype(f32)

@@ -106,6 +106,22 @@ def kld_normal(mean, log_var, axis=-1, free_bits=0.0):
     return jnp.sum(per_dim, axis=axis)
 
 
+def kld_gaussians(mean_q, log_var_q, mean_p, log_var_p, axis=-1,
+                  free_bits=0.0):
+    """KL( N(mean_q, exp(log_var_q)) || N(mean_p, exp(log_var_p)) ), summed
+    over `axis` — the conditional-prior generalization of kld_normal (reduces
+    to it exactly at mean_p = log_var_p = 0; config.py cond_prior).
+
+    free_bits floors each dimension's contribution like kld_normal."""
+    var_q = jnp.exp(log_var_q)
+    inv_var_p = jnp.exp(-log_var_p)
+    per_dim = 0.5 * (log_var_p - log_var_q - 1.0
+                     + (var_q + jnp.square(mean_q - mean_p)) * inv_var_p)
+    if free_bits > 0.0:
+        per_dim = jnp.maximum(per_dim, free_bits)
+    return jnp.sum(per_dim, axis=axis)
+
+
 def masked_mean(values, mask, eps=1e-8):
     """Mean of `values` over entries where mask!=0.
 
@@ -182,13 +198,16 @@ def ioc_cross_entropy(scores, hyp_xy, gt_xy, agent_mask, step_mask=None,
 
 
 def refine_regression_loss(refined_xy, gt_xy, agent_mask, step_mask=None,
-                           agg="min"):
+                           agg="min", lane_penalty=None):
     """L2 regression on refined trajectories.
 
     refined_xy: (..., K, T, 2); gt_xy: (..., T, 2). agg over the K lanes:
     'min' (default) trains only the closest refined hypothesis toward GT —
     refinement sharpens the best mode without collapsing the others onto the
     conditional mean; 'mean' is the paper's regress-every-sample term.
+    lane_penalty: optional (..., K) additive penalty applied before the min —
+    the variety-subset hook (config.py variety_k): +1e9 on excluded lanes
+    restricts the min to the chosen subset.
     """
     err = jnp.sum(jnp.square(refined_xy - gt_xy[..., None, :, :]), axis=-1)
     if step_mask is not None:
@@ -197,6 +216,8 @@ def refine_regression_loss(refined_xy, gt_xy, agent_mask, step_mask=None,
     else:
         err = jnp.mean(err, axis=-1)
     if agg == "min":
+        if lane_penalty is not None:
+            err = err + lane_penalty
         err = jnp.min(err, axis=-1)
     else:
         err = jnp.mean(err, axis=-1)

@@ -85,10 +85,24 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
         "head": L.init_dense(jax.random.fold_in(key, 99), d, 5, dtype,
                              scale=0.05),
     }
+    if cfg.cond_prior:
+        # conditional prior p(z|X): zero-init -> the prior starts exactly at
+        # N(0, I) (the paper's unconditional prior) and training moves it
+        # only where KL evidence demands; inference draws from it, so prior
+        # samples know the agent's observed dynamics (config.py cond_prior)
+        p["prior"] = {"w": jnp.zeros((d, 2 * cfg.latent_size), dtype),
+                      "b": jnp.zeros((2 * cfg.latent_size,), dtype)}
+    if cfg.speed_norm and cfg.learn_bound:
+        # learned residual-envelope scalars (log-domain: positivity), init
+        # at the config values; observed speed itself stays stop-gradient
+        p["vel_gain_log"] = jnp.asarray(jnp.log(cfg.vel_gain), dtype)
+        p["vel_floor_log"] = jnp.asarray(jnp.log(cfg.vel_floor), dtype)
     if side == 32:
-        # conv-VAE geometry of the reference (model/model.py:453-492): the
-        # fused 1024-vector reshaped to a 32x32 "image", conv-encoded and
-        # deconv-decoded. Kernel/stride arithmetic only closes for side==32.
+        # conv recognition network of the reference (model/model.py:471-492):
+        # the fused 1024-vector reshaped to a 32x32 "image" and conv-encoded.
+        # Kernel/stride arithmetic only closes for side==32. Runs only at
+        # TRAIN time on N agent rows (not N*K lanes) — cheap; kept at
+        # reference geometry regardless of the decoder choice below.
         p.update({
             "venc1": L.init_conv(ks[6], 5, 5, 1, 32, dtype),
             "vgn1": L.init_groupnorm(32, dtype),
@@ -98,6 +112,21 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
             "vgn3": L.init_groupnorm(128, dtype),
             "venc_fc": L.init_dense(ks[9], (side // 8) * (side // 8) * 128,
                                     2 * lat, dtype),
+        })
+    else:
+        # any other rnn_size (the reference CLI accepts them, its model
+        # crashes — SURVEY §8): an MLP recognition network of equivalent
+        # capability; the "image" is just the fused vector
+        hid = max(4 * lat, side * side // 2)
+        p.update({
+            "venc_fc1": L.init_dense(ks[6], side * side, hid, dtype),
+            "venc_fc": L.init_dense(ks[9], hid, 2 * lat, dtype),
+        })
+    if side == 32 and cfg.vae_dec == "conv":
+        # deconv decoder at the reference's exact geometry
+        # (model/model.py:453-469). Runs per (agent, lane) — the dominant
+        # SGM cost at inference (config.py vae_dec note); default is 'mlp'.
+        p.update({
             "vdec1": L.init_conv(ks[10], 4, 4, lat, 128, dtype),
             "vdgn1": L.init_groupnorm(128, dtype),
             "vdec2": L.init_conv(ks[11], 5, 5, 128, 64, dtype),
@@ -107,13 +136,8 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
             "vdec4": L.init_conv(ks[13], 5, 5, 32, 1, dtype),
         })
     else:
-        # any other rnn_size (the reference CLI accepts them, its model
-        # crashes — SURVEY §8): an MLP recognition/decoder VAE of equivalent
-        # capability; the "image" is just the fused vector
         hid = max(4 * lat, side * side // 2)
         p.update({
-            "venc_fc1": L.init_dense(ks[6], side * side, hid, dtype),
-            "venc_fc": L.init_dense(ks[9], hid, 2 * lat, dtype),
             "vdec_fc1": L.init_dense(ks[10], lat, hid, dtype),
             "vdec_fc": L.init_dense(ks[11], hid, side * side, dtype),
         })
@@ -312,11 +336,69 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
 
     key, kdx, kdy = jax.random.split(key, 3)
     kp = cfg.keep_prob if train else 1.0
+
+    rho = temporal_features(p, rel_obs.astype(cd), obs_mask.astype(cd))
+    rho_seed = jax.nn.relu(L.dense(p["rho_proj"], rho))          # (N, d)
+
+    from desire_tpu import ops as ops_mod
+    fused_infer = (not train and ops_mod.use_pallas(cfg)
+                   and cfg.num_layers == 1 and "vdec_fc1" in p
+                   and cfg.mesh_data * cfg.mesh_k == 1)
+    if fused_infer:
+        # the ENTIRE sampler (encode -> prior draw -> mask MLP -> K-lane
+        # decode) as one Pallas kernel (ops/sgm_fused.py, north-star kernel
+        # (a)); eps comes from the same PRNG call as the XLA path below, so
+        # the two paths draw identical latents
+        from desire_tpu.ops.sgm_fused import sgm_sample_decode_fused
+        feats = jax.nn.relu(L.dense(
+            p["embed_x"], _traj_feats(rel_obs.astype(cd),
+                                      obs_mask.astype(cd))))
+        eps = jax.random.normal(key, (n, K, lat), cd)
+        dec_h_f32, hx = sgm_sample_decode_fused(
+            p, feats, obs_mask, rho_seed.astype(jnp.float32), eps,
+            pred_len, compute_dtype=cd)
+        mu_p = logvar_p = None
+        if "prior" in p:
+            pr = L.dense(p["prior"], hx.astype(cd))
+            mu_p, lv_raw = jnp.split(pr, 2, axis=-1)
+            logvar_p = 4.0 * jnp.tanh(lv_raw / 4.0)
+        dec_h = dec_h_f32.astype(cd)                      # (N, K, Tf, d)
+        raw = L.dense(p["head"], dec_h)                   # (N, K, Tf, 5)
+        raw = shard_hint(raw, "data", "k")
+        dec_h = shard_hint(dec_h, "data", "k")
+        cv_vel = mean_observed_velocity(rel_obs, obs_mask)
+        vel_bound = None
+        if cfg.speed_norm:
+            s = jax.lax.stop_gradient(observed_speed(rel_obs, obs_mask))
+            if "vel_gain_log" in p:
+                gain = jnp.exp(p["vel_gain_log"]).astype(s.dtype)
+                floor = jnp.exp(p["vel_floor_log"]).astype(s.dtype)
+            else:
+                gain, floor = cfg.vel_gain, cfg.vel_floor
+            vel_bound = (gain * s + floor)[:, None]
+        raw5 = compose_positions(raw.astype(jnp.float32), origin[:, None, :],
+                                 cfg.vel_scale, cv_vel=cv_vel[:, None, :],
+                                 vel_bound=vel_bound)
+        return {
+            "raw5": raw5, "traj_mu": raw5[..., 0:2], "dec_h": dec_h,
+            "z_mu": None, "z_logvar": None,
+            "zp_mu": mu_p, "zp_logvar": logvar_p,
+            "rho": rho, "hx": hx, "origin": origin, "beta": None,
+        }
+
     hx, hx_all = encode_trajectory(p["enc_x"], p["embed_x"],
                                    rel_obs.astype(cd), obs_mask.astype(cd),
                                    dropout_key=kdx if train else None,
                                    keep_prob=kp)
-    rho = temporal_features(p, rel_obs.astype(cd), obs_mask.astype(cd))
+
+    # conditional prior p(z|X) (config.py cond_prior): zero-init head ->
+    # starts exactly N(0, I). logvar is tanh-bounded (smooth, keeps gradients
+    # unlike a hard clip) so prior variances stay in [e^-4, e^4].
+    mu_p = logvar_p = None
+    if "prior" in p:
+        pr = L.dense(p["prior"], hx)
+        mu_p, lv_raw = jnp.split(pr, 2, axis=-1)
+        logvar_p = 4.0 * jnp.tanh(lv_raw / 4.0)
 
     if train:
         assert fut_xy is not None and fut_mask is not None
@@ -331,7 +413,11 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
         z = mu[:, None] + jnp.exp(0.5 * logvar)[:, None] * eps
     else:
         mu = logvar = None
-        z = jax.random.normal(key, (n, K, lat), hx.dtype)
+        eps = jax.random.normal(key, (n, K, lat), hx.dtype)
+        if mu_p is not None:
+            z = mu_p[:, None] + jnp.exp(0.5 * logvar_p)[:, None] * eps
+        else:
+            z = eps
 
     # K hypothesis lanes shard over the mesh 'k' axis (SURVEY §2.3: the
     # sequence-parallel analogue of this model); rows stay on 'data'.
@@ -347,7 +433,6 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     # additive z projection keeps a first-class linear path from the latent
     # into the decoder (see init_sgm z_skip comment); rho conditions the
     # seed with the temporal-conv trajectory features (C3 made live)
-    rho_seed = jax.nn.relu(L.dense(p["rho_proj"], rho))        # (N, d)
     h_seed = (beta * jnp.repeat(hx, K, axis=0)
               + L.dense(p["z_skip"], z_flat)
               + jnp.repeat(rho_seed, K, axis=0))
@@ -359,10 +444,17 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     cv_vel = mean_observed_velocity(rel_obs, obs_mask)    # (N, 2) f32
     vel_bound = None
     if cfg.speed_norm:
-        # speed-adaptive residual bound (data-derived, no gradient): the
-        # head's tanh output scales with how fast this agent actually moves
+        # speed-adaptive residual bound: the head's tanh output scales with
+        # how fast this agent actually moves. Speed itself is stop-gradient
+        # (data-derived); gain/floor are learned scalars when learn_bound
+        # (training calibrates the envelope; exp keeps them positive)
         s = jax.lax.stop_gradient(observed_speed(rel_obs, obs_mask))
-        vel_bound = (cfg.vel_gain * s + cfg.vel_floor)[:, None]  # (N,1,1)
+        if "vel_gain_log" in p:
+            gain = jnp.exp(p["vel_gain_log"]).astype(s.dtype)
+            floor = jnp.exp(p["vel_floor_log"]).astype(s.dtype)
+        else:
+            gain, floor = cfg.vel_gain, cfg.vel_floor
+        vel_bound = (gain * s + floor)[:, None]               # (N, 1, 1)
     # position composition in f32 (see dtype note above); the decoder's raw
     # head outputs are the only compute_dtype input here
     raw5 = compose_positions(raw.astype(jnp.float32), origin[:, None, :],
@@ -374,6 +466,7 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
         "traj_mu": raw5[..., 0:2],    # (N, K, Tf, 2) mean trajectories
         "dec_h": dec_h,               # (N, K, Tf, d)
         "z_mu": mu, "z_logvar": logvar,
+        "zp_mu": mu_p, "zp_logvar": logvar_p,
         "rho": rho, "hx": hx, "origin": origin,
         "beta": beta.reshape(n, K, -1),
     }

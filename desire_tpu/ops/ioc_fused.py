@@ -92,12 +92,19 @@ def _mm(a, b, cd, precision):
                    preferred_element_type=jnp.float32, precision=precision)
 
 
-def _kernel(tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
-            wiv_ref, wis_ref, wio_ref, wid_ref, wh_ref, bi_ref, bh_ref,
-            heads_w_ref, heads_b_ref, ltau_ref,
-            out_x_ref, out_y_ref, out_sc_ref,
-            gi_scr, hs_scr, x_scr, y_scr, fmask_scr, h_scr, gi_dec_scr,
-            *, num_refine, delta_scale, grid_g, cd, a_dim, kc):
+def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
+            collect_iters=False):
+    (tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
+     wiv_ref, wis_ref, wio_ref, wid_ref, wh_ref, bi_ref, bh_ref,
+     heads_w_ref, heads_b_ref, ltau_ref) = refs[:17]
+    n_out = 5 if collect_iters else 3
+    if collect_iters:
+        (out_x_ref, out_y_ref, out_sc_ref,
+         out_xi_ref, out_yi_ref) = refs[17:17 + n_out]
+    else:
+        out_x_ref, out_y_ref, out_sc_ref = refs[17:17 + n_out]
+    (gi_scr, hs_scr, x_scr, y_scr, fmask_scr, h_scr,
+     gi_dec_scr) = refs[17 + n_out:]
     t_len = fmask_ref.shape[1]
     rows = kc * a_dim                       # lanes-in-chunk x agents
     d = wh_ref.shape[0]
@@ -234,6 +241,12 @@ def _kernel(tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
         @pl.when(i < num_refine)
         def _():
             jax.lax.fori_loop(0, t_len, delta_step, 0)
+            if collect_iters:
+                # per-iteration trajectories (deep-supervision targets of
+                # the trainable path): traj AFTER iteration i's deltas —
+                # dynamic store on a leading (untiled) dim
+                out_xi_ref[0, 0, pl.ds(i, 1)] = x_scr[:][None]
+                out_yi_ref[0, 0, pl.ds(i, 1)] = y_scr[:][None]
         return carry
 
     jax.lax.fori_loop(0, num_refine + 1, refine_iter, 0)
@@ -256,12 +269,16 @@ def _pick_chunk(k, a_pad, max_rows=320):
 
 
 def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
-                     fut_mask, *, num_refine, delta_scale, interpret=False):
+                     fut_mask, *, num_refine, delta_scale, interpret=False,
+                     collect_iters=False):
     """Fused rank-and-refine. Shapes follow models/ioc.ioc_forward:
 
     traj (B, A, K, T, 2) f32; dec_h/msg (B, A, K, T, d) compute dtype;
     feat_map (B, G, G, C); live (B, A); fut_mask (B, A, T).
-    Returns (refined_traj (B, A, K, T, 2) f32, scores (B, A, K) f32).
+    Returns (refined_traj (B, A, K, T, 2) f32, scores (B, A, K) f32); with
+    collect_iters also the per-iteration trajectories
+    (num_refine, B, A, K, T, 2) — ioc_forward's per_iter list, stacked
+    (the trainable path's deep-supervision targets).
     """
     b, a, k, t, _ = traj.shape
     # pad the agent axis to a sublane multiple (see module docstring)
@@ -318,7 +335,7 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     kernel = functools.partial(
         _kernel, num_refine=int(num_refine),
         delta_scale=float(delta_scale), grid_g=int(g), cd=cd,
-        a_dim=a, kc=kc)
+        a_dim=a, kc=kc, collect_iters=bool(collect_iters))
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -326,7 +343,13 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     plane = lambda bi, ci: (bi, ci, 0, 0)     # (B, Ch, T, rows) planes
     block5 = lambda bi, ci: (bi, ci, 0, 0, 0)
     per_b = lambda bi, ci: (bi, 0, 0)
-    out_x, out_y, scores = pl.pallas_call(
+    nr = int(num_refine)
+    extra_out_specs, extra_out_shapes = [], []
+    if collect_iters:
+        extra_out_specs = [bk((1, 1, nr, t, rows), block5)] * 2
+        extra_out_shapes = [
+            jax.ShapeDtypeStruct((b, chunks, nr, t, rows), jnp.float32)] * 2
+    outs = pl.pallas_call(
         kernel,
         grid=(b, chunks),
         in_specs=[
@@ -353,12 +376,12 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
             bk((1, 1, t, rows), plane),
             bk((1, 1, t, rows), plane),
             bk((1, 1, 1, rows), lambda bi, ci: (bi, ci, 0, 0)),  # scores
-        ],
+        ] + extra_out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((b, chunks, t, rows), jnp.float32),
             jax.ShapeDtypeStruct((b, chunks, t, rows), jnp.float32),
             jax.ShapeDtypeStruct((b, chunks, 1, rows), jnp.float32),
-        ],
+        ] + extra_out_shapes,
         scratch_shapes=[
             pltpu.VMEM((t, rows, 3 * d), jnp.float32),  # input gates
             pltpu.VMEM((t, rows, d), jnp.float32),     # GRU hiddens
@@ -372,6 +395,7 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     )(tx, ty, dec_cm, msg_cm, fmap_flat, live_t, fmask_t,
       wi_v, wi_s, wi_o, wi_d, gp["wh"], gp["bi"], gp["bh"],
       heads_w, heads_b, ltau)
+    out_x, out_y, scores = outs[:3]
 
     def from_chunk_major(arr):
         """(B, chunks, T, KC*A, ·) -> (B, A, K, T, ·)."""
@@ -383,4 +407,98 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     refined = from_chunk_major(jnp.stack([out_x, out_y], axis=-1))
     sc = scores.reshape(b, chunks, kc, a)                 # (B, Ch, KC, A)
     sc = jnp.moveaxis(sc, 3, 1).reshape(b, a, k)
-    return refined[:, :a_orig], sc[:, :a_orig]
+    if not collect_iters:
+        return refined[:, :a_orig], sc[:, :a_orig]
+
+    def iters_from_chunk_major(arr):
+        """(B, Ch, R, T, KC*A) -> (R, B, A, K, T) — same lane ordering as
+        from_chunk_major (k = chunk_index * KC + lane_in_chunk)."""
+        arr = arr.reshape(b, chunks, nr, t, kc, a)
+        arr = jnp.transpose(arr, (2, 0, 5, 1, 4, 3))     # (R, b, a, Ch, KC, t)
+        return arr.reshape(nr, b, a, k, t)
+
+    iters = jnp.stack([iters_from_chunk_major(outs[3]),
+                       iters_from_chunk_major(outs[4])], axis=-1)
+    return refined[:, :a_orig], sc[:, :a_orig], iters[:, :, :a_orig]
+
+
+def make_trainable_fused_ioc(cfg, interpret=False):
+    """TRAINABLE fused rank-and-refine (VERDICT r2 item 3).
+
+    Forward = the fused Pallas kernel (collect_iters=True, so the
+    deep-supervision targets come out too); backward = one XLA recompute of
+    models/ioc.ioc_forward under jax.vjp. Gradients are therefore EXACTLY
+    the XLA path's gradients (same program, same stop_gradients) — the only
+    difference training sees is that downstream losses consume the kernel's
+    forward values (parity-tested to ~1e-5 in interpret mode). Net effect on
+    the train step: the forward half of the IOC stage stops paying the
+    unfused ~9 GB/iteration social-attention traffic; the backward half is
+    remat-style recompute (which cfg.remat already chose to pay).
+
+    Returns fn(p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask) ->
+    (refined (B,A,K,T,2) f32, scores (B,A,K) f32,
+     per_iter (R,B,A,K,T,2) f32).
+    """
+    from desire_tpu.models import ioc as ioc_mod
+    from desire_tpu.models import scf as scf_mod
+    num_refine = max(int(cfg.num_refine), 1)
+
+    def xla_fn(p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask):
+        refined, scores, per_iter = ioc_mod.ioc_forward(
+            p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+        return refined, scores, jnp.stack(per_iter)
+
+    @jax.custom_vjp
+    def fn(p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask):
+        msg = scf_mod.social_messages(p_scf, dec_h)
+        return ioc_refine_fused(
+            p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+            num_refine=num_refine, delta_scale=ioc_mod._DELTA_SCALE,
+            interpret=interpret, collect_iters=True)
+
+    def fwd(*args):
+        return fn(*args), args
+
+    def bwd(args, cts):
+        _, vjp_fn = jax.vjp(xla_fn, *args)
+        return vjp_fn(cts)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def ioc_refine_fused_sharded(mesh, p_ioc, p_scf, traj, dec_h, msg, feat_map,
+                             live, fut_mask, *, num_refine, delta_scale,
+                             interpret=False):
+    """The fused kernel under a (data, k) device mesh, via shard_map.
+
+    XLA's SPMD partitioner cannot split a pallas_call, so under a mesh the
+    kernel runs per-shard: the batch dim shards over 'data', the hypothesis
+    lanes over 'k', and — because every (batch row, lane) is independent in
+    this kernel (the social attention is per-lane block-diagonal) — no
+    collectives are needed; each device runs the identical kernel on its
+    (B/mesh_data, A, K/mesh_k) block. Requires B % mesh_data == 0 and
+    K % mesh_k == 0 (checked by the caller, models/desire.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from desire_tpu.parallel.mesh import DATA_AXIS, K_AXIS
+    shard_map = jax.shard_map
+
+    lane5 = P(DATA_AXIS, None, K_AXIS, None, None)   # (B, A, K, T, ·)
+    data_only = P(DATA_AXIS)
+    rep = jax.tree_util.tree_map(lambda _: P(), (p_ioc, p_scf))
+
+    def local(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask):
+        return ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map,
+                                live, fut_mask, num_refine=num_refine,
+                                delta_scale=delta_scale, interpret=interpret)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(rep[0], rep[1], lane5, lane5, lane5, data_only,
+                  data_only, data_only),
+        out_specs=(lane5, P(DATA_AXIS, None, K_AXIS)),
+        # the pallas_call inside doesn't annotate varying-mesh-axes metadata
+        check_vma=False)
+    return fn(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask)

@@ -1,0 +1,239 @@
+"""Pallas TPU kernel: the fused CVAE sampler (north-star kernel (a)).
+
+SURVEY §7.2 names this kernel: "GRU encode -> latent draw -> K-lane decode
+in one kernel, K on the lane dimension". One grid program takes a block of
+NB agent rows through the ENTIRE inference-time SGM:
+
+    past-GRU encode (To steps)            reference model/model.py:233-236
+    conditional-prior head + z draw       (cond_prior; reparameterized C8,
+                                           model/model.py:257-264)
+    latent -> mask MLP -> softmax beta    (C9/C11 capability; the reference's
+                                           deconv stack is the vae_dec='conv'
+                                           XLA path, model/model.py:453-469)
+    decoder seed = beta*hx + z_skip(z) + rho_seed
+    K-lane GRU decode (T steps)           (C12, model/model.py:279-289)
+
+and writes only the decoder hidden states (T, NB*K, d) + the encoder final
+state — every intermediate ((M, 512)/(M, 1024) MLP activations, GRU gate
+tensors, z, beta) lives and dies in VMEM. The bivariate head + position
+composition stay in XLA (two cheap fused matmuls over the output).
+
+Layout decisions (Mosaic lessons from ops/ioc_fused.py):
+* all per-step tensors are time-major (To/T, rows, .) — dynamic step indexing
+  stays on a leading, untiled dim;
+* rows are agent-major with K minor (global row = n*K + k), so each program's
+  K*NB decode rows are one contiguous block of the output;
+* the K-fold replication of per-agent vectors (hx, mu_p, sigma_p, rho_seed)
+  is ONE 0/1 selector matmul (K*NB, NB) @ (NB, .) built from iota — no
+  sublane reshapes/concats, and it rides the MXU;
+* eps is drawn OUTSIDE with the session PRNG and passed in (39 MB at
+  flagship shapes, ~50 us of HBM) — keeps draws bit-identical to the XLA
+  path, so parity is exactly testable;
+* the prior head is always applied: a model without cond_prior passes zero
+  weights, which makes the prior exactly N(0, I) — one kernel, no branches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _precision_for(dtype):
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _mm(a, b, cd, precision):
+    return jnp.dot(a.astype(cd), b.astype(cd),
+                   preferred_element_type=jnp.float32, precision=precision)
+
+
+def _kernel(feats_ref, mask_ref, rho_ref, eps_ref,
+            ewi_ref, ewh_ref, ebi_ref, ebh_ref,
+            prw_ref, prb_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref,
+            pvw_ref, pvb_ref, zgw_ref, zgb_ref, zsw_ref, zsb_ref,
+            dwi_ref, dwh_ref, dbi_ref, dbh_ref,
+            hs_ref, hx_ref,
+            gie_scr, h_scr,
+            *, k_lanes, pred_len, cd):
+    nb = rho_ref.shape[1]
+    to = feats_ref.shape[0]
+    d = ewh_ref.shape[0]
+    lat = eps_ref.shape[-1]
+    rows = k_lanes * nb
+    precision = _precision_for(cd)
+
+    ebi = ebi_ref[:].astype(jnp.float32)
+    ebh = ebh_ref[:].astype(jnp.float32)
+    ewh = ewh_ref[:]
+
+    def enc_gi_step(t, _):
+        f_t = feats_ref[pl.ds(t, 1)][0]                   # (NB, emb)
+        gie_scr[pl.ds(t, 1)] = (_mm(f_t, ewi_ref[:], cd, precision)
+                                + ebi)[None]
+        return 0
+
+    jax.lax.fori_loop(0, to, enc_gi_step, 0)
+
+    def gru(gi, gh, h):
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        return (1.0 - z) * n + z * h
+
+    h_scr[:] = jnp.zeros((nb, d), jnp.float32)
+
+    def enc_step(t, _):
+        h = h_scr[:]
+        gh = _mm(h, ewh, cd, precision) + ebh
+        h_new = gru(gie_scr[pl.ds(t, 1)][0], gh, h)
+        # mask-freeze semantics (layers.gru_scan): masked steps carry state
+        m = jnp.swapaxes(mask_ref[pl.ds(t, 1)], 0, 1)     # (NB, 1)
+        h_scr[:] = jnp.where(m > 0, h_new, h)
+        return 0
+
+    jax.lax.fori_loop(0, to, enc_step, 0)
+    hx = h_scr[:]                                          # (NB, d) f32
+    hx_ref[0] = hx
+
+    # conditional prior p(z|X); zero weights == standard normal
+    pr = _mm(hx, prw_ref[:], cd, precision) + prb_ref[:].astype(jnp.float32)
+    mu_p = pr[:, :lat]
+    logvar_p = 4.0 * jnp.tanh(pr[:, lat:] / 4.0)
+    sig_p = jnp.exp(0.5 * logvar_p)
+
+    # K-fold replication selector: rep[r] = x[r // K]  (agent-major rows)
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (rows, nb), 0)
+    c_id = jax.lax.broadcasted_iota(jnp.int32, (rows, nb), 1)
+    sel = (r_id // k_lanes == c_id).astype(jnp.float32)
+    hx_rep = _mm(sel, hx, cd, precision)                   # (rows, d)
+    mu_rep = _mm(sel, mu_p, cd, precision)
+    sig_rep = _mm(sel, sig_p, cd, precision)
+    rho_rep = _mm(sel, rho_ref[0].astype(jnp.float32), cd, precision)
+
+    z = mu_rep + sig_rep * eps_ref[:].astype(jnp.float32)  # (rows, lat)
+
+    # latent -> mask MLP (vae_decode_mask, 'mlp' path) -> softmax beta
+    h1 = jax.nn.elu(_mm(z, w1_ref[:], cd, precision)
+                    + b1_ref[:].astype(jnp.float32))
+    recon = jax.nn.sigmoid(_mm(h1, w2_ref[:], cd, precision)
+                           + b2_ref[:].astype(jnp.float32))
+    logits = (_mm(recon, pvw_ref[:], cd, precision)
+              + pvb_ref[:].astype(jnp.float32)
+              + _mm(z, zgw_ref[:], cd, precision)
+              + zgb_ref[:].astype(jnp.float32))
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits)
+    beta = e / jnp.sum(e, axis=-1, keepdims=True) * float(d)
+
+    seed = (beta * hx_rep
+            + _mm(z, zsw_ref[:], cd, precision)
+            + zsb_ref[:].astype(jnp.float32)
+            + rho_rep)
+
+    # K-lane decoder: constant-input scan, input gates hoisted
+    gi_d = _mm(seed, dwi_ref[:], cd, precision) + dbi_ref[:].astype(
+        jnp.float32)
+    dbh = dbh_ref[:].astype(jnp.float32)
+    dwh = dwh_ref[:]
+    h_dec_init = hx_rep
+
+    def dec_step(t, h):
+        gh = _mm(h, dwh, cd, precision) + dbh
+        h = gru(gi_d, gh, h)
+        hs_ref[pl.ds(t, 1)] = h.astype(hs_ref.dtype)[None]
+        return h
+
+    jax.lax.fori_loop(0, pred_len, dec_step, h_dec_init)
+
+
+def sgm_sample_decode_fused(p, feats_emb, obs_mask, rho_seed, eps,
+                            pred_len, *, compute_dtype=jnp.float32,
+                            block_rows=64, interpret=False):
+    """Fused inference sampler. Consumes the same parameter tree as
+    models/sgm.sgm_forward (MLP decoder + optional prior head).
+
+    feats_emb (N, To, emb) — relu(dense(embed_x, traj_feats)), precomputed;
+    obs_mask  (N, To); rho_seed (N, d) — relu(dense(rho_proj, rho));
+    eps (N, K, lat) — standard-normal draws from the session PRNG.
+    Returns (dec_h (N, K, pred_len, d) f32, hx (N, d) f32).
+    """
+    n, to, emb = feats_emb.shape
+    _, k, lat = eps.shape
+    d = rho_seed.shape[-1]
+    enc = p["enc_x"][0]
+    dec = p["dec"][0]
+    hid = p["vdec_fc1"]["w"].shape[-1]
+    side2 = p["vdec_fc"]["w"].shape[-1]
+
+    nb = block_rows
+    n_pad = -(-n // nb) * nb
+    if n_pad != n:
+        pad = ((0, n_pad - n),)
+        feats_emb = jnp.pad(feats_emb, pad + ((0, 0), (0, 0)))
+        obs_mask = jnp.pad(obs_mask, pad + ((0, 0),))
+        rho_seed = jnp.pad(rho_seed, pad + ((0, 0),))
+        eps = jnp.pad(eps, pad + ((0, 0), (0, 0)))
+
+    if "prior" in p:
+        prw, prb = p["prior"]["w"], p["prior"]["b"]
+    else:
+        prw = jnp.zeros((d, 2 * lat), jnp.float32)
+        prb = jnp.zeros((2 * lat,), jnp.float32)
+
+    feats_tm = jnp.swapaxes(feats_emb, 0, 1)              # (To, Npad, emb)
+    mask_tm = jnp.swapaxes(obs_mask, 0, 1)                # (To, Npad)
+    eps_flat = eps.reshape(n_pad * k, lat)                # agent-major rows
+
+    grid = (n_pad // nb,)
+    rows = nb * k
+    kernel = functools.partial(_kernel, k_lanes=int(k),
+                               pred_len=int(pred_len), cd=compute_dtype)
+
+    def bk(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    hs, hx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            bk((to, nb, emb), lambda i: (0, i, 0)),       # feats
+            bk((to, nb), lambda i: (0, i)),               # mask
+            bk((1, nb, d), lambda i: (0, i, 0)),          # rho_seed
+            bk((rows, lat), lambda i: (i, 0)),            # eps
+        ] + [bk(None, None)] * 20,                        # weights, whole
+
+        out_specs=[
+            bk((pred_len, rows, d), lambda i: (0, i, 0)),  # hs
+            bk((1, nb, d), lambda i: (i, 0, 0)),           # hx
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pred_len, n_pad * k, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // nb, nb, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((to, nb, 3 * d), jnp.float32),      # encoder gates
+            pltpu.VMEM((nb, d), jnp.float32),              # encoder state
+        ],
+        interpret=interpret,
+    )(feats_tm, mask_tm, rho_seed[None], eps_flat,
+      enc["wi"], enc["wh"], enc["bi"], enc["bh"],
+      prw, prb,
+      p["vdec_fc1"]["w"], p["vdec_fc1"]["b"],
+      p["vdec_fc"]["w"], p["vdec_fc"]["b"],
+      p["post_vae"]["w"], p["post_vae"]["b"],
+      p["z_gate"]["w"], p["z_gate"]["b"],
+      p["z_skip"]["w"], p["z_skip"]["b"],
+      dec["wi"], dec["wh"], dec["bi"], dec["bh"])
+
+    # (T, Npad*K, d) -> (N, K, T, d)
+    dec_h = jnp.moveaxis(hs.reshape(pred_len, n_pad, k, d), 0, 2)[:n]
+    return dec_h, hx.reshape(n_pad, d)[:n]

@@ -109,7 +109,11 @@ def run_epoch(state: TrainState, loader, epoch: int, step_fn,
     global_batch = loader.cfg.batch_size
     rows = None
     if sharding is not None and jax.process_count() > 1:
-        # multi-host: this process materializes only its rows of each batch
+        # multi-host: this process materializes only its rows of each batch.
+        # batch_to_device passes cfg.batch_size as the fixed global shape, so
+        # a short remainder batch would mismatch at runtime (ADVICE r2)
+        assert loader.drop_remainder, \
+            "multi-process training requires drop_remainder batches"
         rows = mesh_mod.local_batch_rows(sharding, global_batch)
     losses_acc, t0 = [], time.time()
     bad = 0
@@ -124,10 +128,14 @@ def run_epoch(state: TrainState, loader, epoch: int, step_fn,
             # finiteness check rides the logging cadence — a per-step
             # float() would force a device sync and break async dispatch
             m = {k: float(v) for k, v in metrics.items()}
-            if not np.isfinite(m["loss"]):
-                # do NOT hand a non-finite-loss state to log_fn — train.py's
-                # log_fn checkpoints on its save cadence, and a NaN-parameter
-                # checkpoint can evict good ones (fail-fast intent, ADVICE r1)
+            if not (np.isfinite(m["loss"])
+                    and np.isfinite(m.get("grad_norm", 0.0))):
+                # do NOT hand a bad state to log_fn — train.py's log_fn
+                # checkpoints on its save cadence, and a NaN-parameter
+                # checkpoint can evict good ones (fail-fast intent, ADVICE
+                # r1). The grad_norm check covers the POST-update params:
+                # a finite loss (pre-update) with a non-finite gradient
+                # still poisons the Adam step it just took (ADVICE r2)
                 bad += 1
                 if bad >= max_bad_steps:
                     raise NonFiniteLossError(

@@ -11,6 +11,7 @@ Examples:
 
 import argparse
 import json
+import sys
 
 import jax
 
@@ -29,7 +30,8 @@ _GEOMETRY_FIELDS = ("d_dim", "latent_size", "embedding_size", "rnn_size",
                     "num_layers", "channel_multiplier", "scene_grid",
                     "scene_channels", "use_ioc", "use_scf", "use_social",
                     "num_refine", "vel_scale", "speed_norm", "vel_gain",
-                    "vel_floor")  # vel_scale/speed_norm/... shape the forward
+                    "vel_floor", "cond_prior", "learn_bound",
+                    "vae_dec")  # vel_scale/speed_norm/... shape the forward
 #                      pass — restoring without them would silently rescale
 #                      every residual
 
@@ -40,6 +42,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_flags(parser)
     parser.set_defaults(**{f: None for f in _GEOMETRY_FIELDS})
+    parser.add_argument("--split", type=str, default="heldout",
+                        choices=("heldout", "train", "all"),
+                        help="which side of the holdout partition to "
+                             "evaluate (config.py holdout; 'all' or "
+                             "holdout='none' = every video, the pre-round-3 "
+                             "in-sample behavior)")
     parser.add_argument("--max_eval_batches", type=int, default=0,
                         help="0 = full epoch")
     parser.add_argument("--random_params", type=int, default=0,
@@ -80,7 +88,19 @@ def main(argv=None):
         cfg = cfg.replace(**{f: getattr(saved_cfg, f)
                              for f in _GEOMETRY_FIELDS if f not in explicit})
 
-    loader = SDDLoader(cfg)
+    split = None if (args.split == "all" or cfg.holdout == "none") \
+        else args.split
+    if split == "heldout":
+        # held-out eval uses the wider eval hop (less window overlap) unless
+        # the user explicitly set window_hop
+        passed = {a.split("=")[0].lstrip("-") for a in (argv or sys.argv[1:])}
+        if "window_hop" not in passed:
+            cfg = cfg.replace(window_hop=cfg.eval_hop)
+    loader = SDDLoader(cfg, split=split, drop_remainder=False)
+    print(json.dumps({"split": args.split if split else "all",
+                      "videos": [v.name for v in loader.videos],
+                      "windows": loader.num_windows,
+                      "window_hop": cfg.window_hop}))
     params = init_desire(jax.random.PRNGKey(cfg.seed), cfg)
     if not args.random_params:
         state = create_train_state(cfg, params, loader.num_batches)

@@ -29,9 +29,17 @@ def main(argv=None):
                         help="comma-separated px/step boundaries — adds an "
                              "observed-speed-class breakdown (matches "
                              "evaluate.py --speed_bins)")
+    parser.add_argument("--split", type=str, default="heldout",
+                        choices=("heldout", "train", "all"),
+                        help="evaluate on this side of the holdout "
+                             "partition (same semantics as evaluate.py)")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
-    loader = SDDLoader(cfg)
+    split = None if (args.split == "all" or cfg.holdout == "none") \
+        else args.split
+    if split == "heldout":
+        cfg = cfg.replace(window_hop=cfg.eval_hop)
+    loader = SDDLoader(cfg, split=split, drop_remainder=False)
     bins = [float(s) for s in args.speed_bins.split(",") if s.strip()]
     edges = [0.0] + bins + [np.inf]
 

@@ -162,3 +162,55 @@ def test_native_parser_matches_python_if_built(micro_tree):
     pf = loader_mod._python_reader(path)
     for a, b in zip(nf, pf):
         np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+@pytest.fixture
+def split_tree(tmp_path):
+    """3 scenes: sceneA has 3 videos, sceneB has 2, sceneC has 1 (stays
+    fully in train — holding out its only video would delete the scene)."""
+    def traj(seed, n=30):
+        rng = np.random.default_rng(seed)
+        return [(f, 1, 10.0 + f + rng.normal(), 20.0 + f) for f in range(n)]
+    layout = {"sceneA": ["video0", "video1", "video2"],
+              "sceneB": ["video10", "video9"],   # lexicographic: video9 last
+              "sceneC": ["video0"]}
+    i = 0
+    for scene, vids in layout.items():
+        for v in vids:
+            _write_micro_csv(
+                str(tmp_path / scene / v / "annotations_processed.csv"),
+                traj(i))
+            i += 1
+    return str(tmp_path)
+
+
+def test_holdout_partition(split_tree):
+    """holdout='video': train/heldout are a disjoint deterministic partition;
+    the last-sorted video of every >=2-video scene is held out."""
+    held = loader_mod.heldout_videos(
+        ["sceneA/video0", "sceneA/video1", "sceneA/video2",
+         "sceneB/video10", "sceneB/video9", "sceneC/video0"])
+    assert held == {"sceneA/video2", "sceneB/video9"}
+
+    cfg = DesireConfig(protocol="paper", obs_len=3, pred_len=2, subsample=1,
+                       max_num_obj=4, window_hop=1, batch_size=2,
+                       data_dir=split_tree)
+    names = lambda ld: {v.name for v in ld.videos}
+    all_ld = loader_mod.SDDLoader(cfg, use_native=False)
+    tr = loader_mod.SDDLoader(cfg, use_native=False, split="train")
+    ho = loader_mod.SDDLoader(cfg, use_native=False, split="heldout")
+    assert names(tr) | names(ho) == names(all_ld)
+    assert not (names(tr) & names(ho))
+    assert names(ho) == {"sceneA/video2", "sceneB/video9"}
+    assert "sceneC/video0" in names(tr)          # 1-video scene stays in train
+    # deterministic across constructions
+    assert names(loader_mod.SDDLoader(cfg, use_native=False,
+                                      split="heldout")) == names(ho)
+
+
+def test_holdout_none_rejects_split(split_tree):
+    cfg = DesireConfig(protocol="paper", obs_len=3, pred_len=2, subsample=1,
+                       max_num_obj=4, window_hop=1, batch_size=2,
+                       data_dir=split_tree, holdout="none")
+    with pytest.raises(ValueError):
+        loader_mod.SDDLoader(cfg, use_native=False, split="train")

@@ -263,3 +263,129 @@ def test_fused_ioc_single_live_agent_zero_social():
     np.testing.assert_allclose(np.asarray(out_scores[:, 2]),
                                np.asarray(ref_scores[:, 2]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ioc_sharded_matches_xla(monkeypatch):
+    """ioc_refine_fused_sharded under a real (data=2, k=2) CPU mesh matches
+    the XLA path — the VERDICT r2 'Pallas under a mesh' gap: shard_map runs
+    the kernel per-shard, no collectives (every (row, lane) is independent)."""
+    from desire_tpu.models.ioc import _DELTA_SCALE, ioc_forward
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused_sharded
+    from desire_tpu.parallel import mesh as mesh_mod
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env(
+        b=4, a=5, k=4)
+    ref_traj, ref_scores, _ = ioc_forward(
+        p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+    msg = scf.social_messages(p_scf, dec_h)
+    mesh = mesh_mod.make_mesh(2, 2)
+    out_traj, out_scores = ioc_refine_fused_sharded(
+        mesh, p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+        num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_traj), np.asarray(ref_traj),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_scores),
+                               np.asarray(ref_scores), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ioc_collect_iters_matches_per_iter_list():
+    """collect_iters returns exactly ioc_forward's per_iter stack (the
+    deep-supervision targets of the trainable path)."""
+    from desire_tpu.models.ioc import _DELTA_SCALE, ioc_forward
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    _, _, per_iter = ioc_forward(
+        p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+    msg = scf.social_messages(p_scf, dec_h)
+    out_traj, _, iters = ioc_refine_fused(
+        p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+        num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE, interpret=True,
+        collect_iters=True)
+    assert iters.shape == (cfg.num_refine,) + traj.shape
+    for i, ref in enumerate(per_iter):
+        np.testing.assert_allclose(np.asarray(iters[i]), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+    # last collected iteration IS the final refined trajectory
+    np.testing.assert_allclose(np.asarray(iters[-1]), np.asarray(out_traj),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_trainable_fused_ioc_gradient_parity():
+    """make_trainable_fused_ioc: value ~= XLA path, gradients == XLA path
+    (the custom_vjp backward IS the XLA vjp) — VERDICT r2 item 3."""
+    from desire_tpu.models.ioc import ioc_forward
+    from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    fused = make_trainable_fused_ioc(cfg, interpret=True)
+    wts = jax.random.normal(jax.random.PRNGKey(9), live.shape + (3,))
+
+    def loss_fused(p_ioc, p_scf, traj, dec_h, feat_map):
+        refined, scores, iters = fused(p_ioc, p_scf, traj, dec_h,
+                                       feat_map, live, fut_mask)
+        return (jnp.sum(refined ** 2) + jnp.sum(scores * wts)
+                + jnp.sum(iters ** 2))
+
+    def loss_xla(p_ioc, p_scf, traj, dec_h, feat_map):
+        refined, scores, per_iter = ioc_forward(
+            p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+        return (jnp.sum(refined ** 2) + jnp.sum(scores * wts)
+                + jnp.sum(jnp.stack(per_iter) ** 2))
+
+    args = (p_ioc, p_scf, traj, dec_h, feat_map)
+    v_f, g_f = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    v_x, g_x = jax.value_and_grad(loss_xla, argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused SGM CVAE sampler kernel (ops/sgm_fused.py, north-star kernel (a))
+# ---------------------------------------------------------------------------
+
+def test_fused_sgm_sampler_matches_xla_forward():
+    """encode -> prior draw -> mask MLP -> K-lane decode in one kernel must
+    reproduce sgm_forward's inference outputs (same PRNG draws)."""
+    from desire_tpu.config import DesireConfig
+    from desire_tpu.models import layers as L
+    from desire_tpu.models import sgm
+    from desire_tpu.ops.sgm_fused import sgm_sample_decode_fused
+
+    cfg = DesireConfig(obs_len=5, pred_len=6, num_samples=4, d_dim=16,
+                      latent_size=8, embedding_size=8, channel_multiplier=10,
+                      compute_dtype="float32", rnn_size=128)  # MLP VAE side 16
+    key = jax.random.PRNGKey(0)
+    p = sgm.init_sgm(key, cfg)
+    n = 7                                   # odd: exercises row padding
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    obs = jax.random.uniform(ks[0], (n, cfg.obs_len, 2)) * 0.5 + 0.2
+    m_o = jnp.ones((n, cfg.obs_len)).at[0, 0].set(0.0)  # one masked step
+
+    k0 = jax.random.PRNGKey(5)
+    ref = sgm.sgm_forward(p, cfg, obs, m_o, key=k0, train=False)
+
+    # replicate the fused branch's precompute + PRNG stream
+    origin = obs[:, -1]
+    rel = (obs - origin[:, None]) * m_o[..., None]
+    feats = jax.nn.relu(L.dense(p["embed_x"], sgm._traj_feats(rel, m_o)))
+    rho = sgm.temporal_features(p, rel, m_o)
+    rho_seed = jax.nn.relu(L.dense(p["rho_proj"], rho))
+    key2, _, _ = jax.random.split(k0, 3)
+    eps = jax.random.normal(key2, (n, cfg.num_samples, cfg.latent_size))
+
+    dec_h, hx = sgm_sample_decode_fused(
+        p, feats, m_o, rho_seed, eps, cfg.pred_len, block_rows=8,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(dec_h), np.asarray(ref["dec_h"]),
+                               rtol=2e-4, atol=2e-5)
+    raw = L.dense(p["head"], dec_h.astype(jnp.float32))
+    # full raw5 parity through compose_positions
+    cv = sgm.mean_observed_velocity(rel, m_o)
+    s = sgm.observed_speed(rel, m_o)
+    gain = jnp.exp(p["vel_gain_log"]); floor = jnp.exp(p["vel_floor_log"])
+    raw5 = sgm.compose_positions(raw, origin[:, None, :], cfg.vel_scale,
+                                 cv_vel=cv[:, None, :],
+                                 vel_bound=(gain * s + floor)[:, None])
+    np.testing.assert_allclose(np.asarray(raw5), np.asarray(ref["raw5"]),
+                               rtol=2e-4, atol=2e-5)

