@@ -80,11 +80,19 @@ def _time_compiled(run, iters, warmup):
     return (time.perf_counter() - t0) / iters
 
 
+def _jit_init(cfg):
+    """Param init as ONE jitted dispatch: eager init is ~40 tiny ops, and on
+    the tunneled TPU every eager op pays a network round trip (measured:
+    minutes of pure latency; the jitted form is seconds)."""
+    from desire_tpu.models.desire import init_desire
+    return jax.jit(lambda k: init_desire(k, cfg))(jax.random.PRNGKey(0))
+
+
 def bench(cfg=None, iters=10, warmup=3):
     """Inference path. Returns (traj_per_sec, dt, mfu, hbm_frac)."""
-    from desire_tpu.models.desire import desire_forward, init_desire
+    from desire_tpu.models.desire import desire_forward
     cfg = cfg or flagship_cfg()
-    params = init_desire(jax.random.PRNGKey(0), cfg)
+    params = _jit_init(cfg)
     xy, mask, ids = make_batch(cfg)
 
     def fwd(params, xy, mask, ids, key):
@@ -109,9 +117,9 @@ def bench_train(cfg=None, iters=10, warmup=3):
     from desire_tpu.models.desire import init_desire
     from desire_tpu.train import trainer
     from desire_tpu.train.state import create_train_state
-    cfg = cfg or flagship_cfg(K=12)   # the training recipe's K
-    params = init_desire(jax.random.PRNGKey(0), cfg)
-    state = create_train_state(cfg, params, steps_per_epoch=190)
+    cfg = cfg or flagship_cfg(K=20)   # the round-3 training recipe's K
+    state = jax.jit(lambda k: create_train_state(
+        cfg, init_desire(k, cfg), steps_per_epoch=190))(jax.random.PRNGKey(0))
     xy, mask, ids = make_batch(cfg)
     step_fn = trainer.make_train_step(cfg, 190)
 
@@ -148,11 +156,11 @@ def breakdown(iters=10, warmup=3):
         ("full_refine4", dict()),
         ("full_refine4_unfused_ioc", dict(use_pallas=False)),  # XLA IOC loop
         ("full_K50", dict(num_samples=50)),
-        ("full_K12_train_shapes", dict(num_samples=12)),
+        ("full_K12", dict(num_samples=12)),
     ]
     for name, kw in variants:
         cfg = flagship_cfg().replace(**kw)
-        params = init_desire(jax.random.PRNGKey(0), cfg)
+        params = _jit_init(cfg)
         xy, mask, ids = make_batch(cfg)
 
         def fwd(params, xy, mask, ids, key, cfg=cfg):
@@ -201,7 +209,7 @@ def main():
         "unit": "traj/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "fwd_ms": round(dt * 1e3, 2),
-        "train_steps_per_sec_K12": round(steps_per_sec, 2),
+        "train_steps_per_sec_K20": round(steps_per_sec, 2),
         "train_step_ms": round(train_dt * 1e3, 2),
         "mfu_fwd": round(mfu, 4) if mfu is not None else None,
         "mfu_train": round(train_mfu, 4) if train_mfu is not None else None,

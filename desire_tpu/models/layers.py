@@ -31,8 +31,10 @@ def _uniform_limit(fan_in: int, fan_out: int) -> float:
 
 def glorot(key, shape, dtype=jnp.float32):
     """Xavier/Glorot uniform — the init the reference's prettytensor layers
-    used (utils/convolutional_vae_util.py:60-63)."""
-    fan_in = int(jnp.prod(jnp.asarray(shape[:-1])))
+    used (utils/convolutional_vae_util.py:60-63). Fans are computed with
+    static python math so init_* trees can be built under jit (one dispatch
+    instead of ~40 — matters through the remote-TPU tunnel)."""
+    fan_in = math.prod(shape[:-1])
     fan_out = int(shape[-1])
     lim = _uniform_limit(fan_in, fan_out)
     return jax.random.uniform(key, shape, dtype, -lim, lim)

@@ -451,10 +451,14 @@ def make_trainable_fused_ioc(cfg, interpret=False):
     @jax.custom_vjp
     def fn(p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask):
         msg = scf_mod.social_messages(p_scf, dec_h)
-        return ioc_refine_fused(
+        refined, scores, iters = ioc_refine_fused(
             p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
             num_refine=num_refine, delta_scale=ioc_mod._DELTA_SCALE,
             interpret=interpret, collect_iters=True)
+        # primal output dtypes must equal xla_fn's (custom_vjp cotangents
+        # are checked against them): the XLA path emits scores in the
+        # compute dtype, the kernel accumulates them in f32
+        return refined, scores.astype(dec_h.dtype), iters
 
     def fwd(*args):
         return fn(*args), args

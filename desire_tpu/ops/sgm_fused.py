@@ -121,9 +121,11 @@ def _kernel(feats_ref, mask_ref, rho_ref, eps_ref,
 
     z = mu_rep + sig_rep * eps_ref[:].astype(jnp.float32)  # (rows, lat)
 
-    # latent -> mask MLP (vae_decode_mask, 'mlp' path) -> softmax beta
-    h1 = jax.nn.elu(_mm(z, w1_ref[:], cd, precision)
-                    + b1_ref[:].astype(jnp.float32))
+    # latent -> mask MLP (vae_decode_mask, 'mlp' path) -> softmax beta.
+    # elu written out: Mosaic has no expm1 lowering (exp(x)-1 differs from
+    # expm1 by <1e-8 rel at the magnitudes here)
+    pre1 = _mm(z, w1_ref[:], cd, precision) + b1_ref[:].astype(jnp.float32)
+    h1 = jnp.where(pre1 > 0, pre1, jnp.exp(pre1) - 1.0)
     recon = jax.nn.sigmoid(_mm(h1, w2_ref[:], cd, precision)
                            + b2_ref[:].astype(jnp.float32))
     logits = (_mm(recon, pvw_ref[:], cd, precision)
@@ -157,7 +159,10 @@ def _kernel(feats_ref, mask_ref, rho_ref, eps_ref,
 
 def sgm_sample_decode_fused(p, feats_emb, obs_mask, rho_seed, eps,
                             pred_len, *, compute_dtype=jnp.float32,
-                            block_rows=64, interpret=False):
+                            block_rows=128, interpret=False):
+    # block_rows=128: the (To, N) mask blocks along its LANE dim, so the
+    # block must be a 128 multiple (Mosaic tiling rule); 128 agent rows x
+    # K lanes also keeps every matmul operand MXU-sized
     """Fused inference sampler. Consumes the same parameter tree as
     models/sgm.sgm_forward (MLP decoder + optional prior head).
 
@@ -223,6 +228,9 @@ def sgm_sample_decode_fused(p, feats_emb, obs_mask, rho_seed, eps,
             pltpu.VMEM((to, nb, 3 * d), jnp.float32),      # encoder gates
             pltpu.VMEM((nb, d), jnp.float32),              # encoder state
         ],
+        # the (rows, 1024) recon + (rows, 512) h1 + hs block overflow the
+        # default 16 MB scoped-vmem stack at block_rows=128 (~32 MB needed)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
     )(feats_tm, mask_tm, rho_seed[None], eps_flat,
       enc["wi"], enc["wh"], enc["bi"], enc["bh"],

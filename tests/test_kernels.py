@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 
 from desire_tpu.models import layers, scf
-from desire_tpu.ops.gru import gru_seq_pallas, gru_seq_pallas_infer
 from desire_tpu.ops.scene_pool import bilinear_pool_pallas
 
 
@@ -79,53 +78,6 @@ def test_scene_pool_grad_against_finite_differences():
             fd = (f(pos + dp) - f(pos - dp)) / (2 * eps)
             np.testing.assert_allclose(float(grad[0, i, d]), float(fd),
                                        rtol=2e-2, atol=1e-3)
-
-
-# -- fused GRU ----------------------------------------------------------------
-
-def _gru_fixture(t=5, m=700, in_dim=11, d=16):
-    p = layers.init_gru(jax.random.PRNGKey(0), in_dim, d)
-    h0 = jax.random.normal(jax.random.PRNGKey(1), (m, d))
-    xs = jax.random.normal(jax.random.PRNGKey(2), (t, m, in_dim))
-    return p, h0, xs
-
-
-def test_gru_kernel_forward_matches_scan():
-    p, h0, xs = _gru_fixture()
-    hs_k = gru_seq_pallas(p, h0, xs, True)       # interpret mode
-    _, hs_x = layers.gru_scan(p, h0, xs)
-    np.testing.assert_allclose(np.asarray(hs_k), np.asarray(hs_x),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_gru_infer_kernel_matches_scan():
-    p, h0, xs = _gru_fixture()
-    hs_k = gru_seq_pallas_infer(p, h0, xs, True)
-    _, hs_x = layers.gru_scan(p, h0, xs)
-    np.testing.assert_allclose(np.asarray(hs_k), np.asarray(hs_x),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_gru_kernel_gradients_match_scan():
-    p, h0, xs = _gru_fixture(t=4, m=300)
-    tgt = jax.random.normal(jax.random.PRNGKey(3), xs.shape[:2] + (16,))
-
-    def loss_k(p, h, x):
-        return jnp.sum((gru_seq_pallas(p, h, x, True) - tgt) ** 2)
-
-    def loss_x(p, h, x):
-        return jnp.sum((layers.gru_scan(p, h, x)[1] - tgt) ** 2)
-
-    gk = jax.grad(loss_k, argnums=(0, 1, 2))(p, h0, xs)
-    gx = jax.grad(loss_x, argnums=(0, 1, 2))(p, h0, xs)
-    for key in ("wi", "wh", "bi", "bh"):
-        np.testing.assert_allclose(np.asarray(gk[0][key]),
-                                   np.asarray(gx[0][key]),
-                                   rtol=1e-4, atol=1e-4, err_msg=key)
-    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gx[1]),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gk[2]), np.asarray(gx[2]),
-                               rtol=1e-4, atol=1e-5)
 
 
 # -- fused NLL ----------------------------------------------------------------
