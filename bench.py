@@ -69,15 +69,31 @@ def _cost_analysis(compiled):
         return 0.0, 0.0
 
 
+def _sync_fetch(out):
+    """Force completion of everything dispatched so far by fetching a scalar
+    derived from `out`. Device executions serialize in stream order, so when
+    this scalar is on the host every earlier dispatch has finished.
+    (Plain block_until_ready has been observed to return without waiting
+    through the remote-TPU tunnel — it produced physically impossible
+    sub-roofline timings; a host value transfer cannot lie.)"""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def _time_compiled(run, iters, warmup):
     for _ in range(warmup):
         out = run()
-    jax.block_until_ready(out)
+    _sync_fetch(out)
+    # overhead of the sync fetch itself (dispatch + tunnel round trip),
+    # measured with no work queued, subtracted from the timed loop
+    t0 = time.perf_counter()
+    _sync_fetch(out)
+    overhead = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _sync_fetch(out)
+    return max(time.perf_counter() - t0 - overhead, 1e-9) / iters
 
 
 def _jit_init(cfg):

@@ -173,12 +173,20 @@ class DesireConfig:
     # ---- TPU execution ----
     compute_dtype: str = "bfloat16"  # activations dtype; params/optimizer stay fp32
     use_pallas: bool = True          # fused Pallas kernels on TPU (pure-XLA fallback off-TPU)
-    fused_train: bool = True     # TRAIN with the fused IOC kernel forward
+    fused_train: bool = False    # TRAIN with the fused IOC kernel forward
     #                              (custom_vjp: Pallas forward + one XLA
     #                              recompute in the backward — gradients are
     #                              exactly the XLA path's; ops/ioc_fused.py
-    #                              make_trainable_fused_ioc). Single-device
-    #                              only; meshes keep the XLA training path
+    #                              make_trainable_fused_ioc). Default OFF by
+    #                              measurement (v5e, B=64 A=60 K=20, r3):
+    #                              355 ms/step XLA vs 409 ms/step hybrid —
+    #                              without remat XLA stashes the forward
+    #                              activations once, while the hybrid pays
+    #                              fused-fwd + a FULL XLA forward recompute
+    #                              in its backward. Losses matched to 4
+    #                              digits, so the switch is purely a perf
+    #                              choice. Single-device only; meshes keep
+    #                              the XLA training path
     remat: bool = False          # jax.checkpoint the lane-parallel memory
     #                              hogs — each IOC iteration (its (B,K*T,A,A)
     #                              social-attention activations) and the
