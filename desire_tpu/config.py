@@ -173,20 +173,18 @@ class DesireConfig:
     # ---- TPU execution ----
     compute_dtype: str = "bfloat16"  # activations dtype; params/optimizer stay fp32
     use_pallas: bool = True          # fused Pallas kernels on TPU (pure-XLA fallback off-TPU)
-    fused_train: bool = False    # TRAIN with the fused IOC kernel forward
-    #                              (custom_vjp: Pallas forward + one XLA
-    #                              recompute in the backward — gradients are
-    #                              exactly the XLA path's; ops/ioc_fused.py
-    #                              make_trainable_fused_ioc). Default OFF by
-    #                              measurement (v5e, B=64 A=60 K=20, r3):
-    #                              355 ms/step XLA vs 409 ms/step hybrid —
-    #                              without remat XLA stashes the forward
-    #                              activations once, while the hybrid pays
-    #                              fused-fwd + a FULL XLA forward recompute
-    #                              in its backward. Losses matched to 4
-    #                              digits, so the switch is purely a perf
-    #                              choice. Single-device only; meshes keep
-    #                              the XLA training path
+    fused_train: bool = True     # TRAIN with the fused IOC kernels: Pallas
+    #                              forward (ops/ioc_fused.py) + full Pallas
+    #                              backward (ops/ioc_bwd.py — in-kernel
+    #                              recompute + reverse accumulation; NOT an
+    #                              XLA replay). Gradient-parity tested vs
+    #                              the XLA path. Measured (v5e, B=64 A=60
+    #                              K=20, r3): 355 ms/step XLA, 409 ms/step
+    #                              for a fused-fwd + XLA-recompute-bwd
+    #                              hybrid (rejected), 275 ms/step for the
+    #                              full Pallas fwd+bwd even while sharing
+    #                              the chip with a training run. Single-
+    #                              device only; meshes keep the XLA path
     remat: bool = False          # jax.checkpoint the lane-parallel memory
     #                              hogs — each IOC iteration (its (B,K*T,A,A)
     #                              social-attention activations) and the

@@ -137,11 +137,13 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
                     feat_map, live, fut_mask, **kw)
             per_iter = []
         elif fused_train_ok:
-            # training: fused Pallas forward + XLA-recompute backward
-            # (custom_vjp — gradients identical to the XLA path); per_iter
-            # comes out of the kernel for the deep-supervision reg loss
+            # training: fused Pallas forward AND fused Pallas backward
+            # (ops/ioc_bwd.py: in-kernel recompute + reverse accumulation;
+            # gradient-parity tested against the XLA path); per_iter comes
+            # out of the forward kernel for the deep-supervision reg loss
             from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
-            refined, scores, iters = make_trainable_fused_ioc(cfg)(
+            refined, scores, iters = make_trainable_fused_ioc(
+                cfg, backward="pallas")(
                 params["ioc"], params["scf"], traj, dec_h, feat_map,
                 live, fut_mask)
             per_iter = list(iters)

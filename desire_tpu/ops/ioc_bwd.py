@@ -1,0 +1,701 @@
+"""Pallas TPU kernel: the IOC rank-and-refine BACKWARD pass.
+
+Completes the trainable fused IOC (ops/ioc_fused.py): the forward kernel
+saves only the per-iteration trajectory planes (tiny), and this kernel
+recomputes everything else (gates, GRU hiddens, attention weights, scene
+pools) in VMEM while running reverse-mode accumulation — the training step
+stops paying the unfused XLA program's ~9 GB/iteration HBM traffic in BOTH
+directions. Measured motivation (v5e, B=64 A=60 K=20): the XLA train step
+is 355 ms, and the hybrid custom_vjp (fused forward + full XLA recompute
+backward) is *slower* (409 ms) because its backward replays the whole
+unfused forward program.
+
+Per (batch row, lane chunk) grid program, reverse over passes — ONE
+fori_loop instantiation (static unrolling of the 5 passes doubled compile
+time past Mosaic's cliff on the forward kernel):
+
+    g <- d_refined                               # cotangent planes
+    for p = R, R-1, ..., 0:
+        positions <- levels[p]                   # levels = [traj_in, iters]
+        recompute pass p forward (gates per GATE block, hs, attention w,
+            scene/social pools) into VMEM scratch
+        p <  R: g += d_iters[p]; seed dh from the delta heads (tanh x gate)
+        p == R: seed dh from the score head (d_scores)
+        reverse-time GRU accumulation (T steps): d_gi -> d_dec, d_msg
+            (attention adjoint), d_feat_map (tent adjoint), weight grads;
+            position grads -> g only for p < R (the final re-score runs on
+            stop_gradient(traj), exactly models/ioc.ioc_forward)
+    d_traj_in = g
+
+Mosaic constraints honored: weights arrive PRE-SPLIT per gate (r/z/n), so
+the kernel never touches the 3d gate axis at unaligned lane offsets;
+transposed contractions use dot_general dimension numbers (no materialized
+transposes); sublane concats only at multiples of 8 — smaller accumulators
+(velocity/head/bias grads) use static-offset row stores instead. Weight and
+feat-map gradients are per-program partial sums, reduced in XLA by the
+wrapper. live/fut_mask are data (never parameter-dependent): their
+cotangents are zeros.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from desire_tpu.ops.ioc_fused import _pick_chunk, _precision_for
+
+
+def _mmf(a, b, cd, precision):
+    return jnp.dot(a.astype(cd), b.astype(cd),
+                   preferred_element_type=jnp.float32, precision=precision)
+
+
+def _contract_last(a, b, cd, precision):
+    """einsum('rk,dk->rd'): contraction over the LAST dims of both."""
+    return jax.lax.dot_general(
+        a.astype(cd), b.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def _contract_first(a, b, cd, precision):
+    """einsum('rp,rq->pq'): contraction over the FIRST dims of both."""
+    return jax.lax.dot_general(
+        a.astype(cd), b.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
+            wvr_ref, wvz_ref, wvn_ref, wsr_ref, wsz_ref, wsn_ref,
+            wor_ref, woz_ref, won_ref, wdr_ref, wdz_ref, wdn_ref,
+            whr_ref, whz_ref, whn_ref,
+            bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
+            hw_ref, hb_ref, ltau_ref,
+            grx_ref, gry_ref, gsc_ref, gix_ref, giy_ref,
+            dtx_ref, dty_ref, ddec_ref, dmsg_ref, dfmap_ref,
+            dwv_ref, dws_ref, dwo_ref, dwd_ref, dwh_ref,
+            dbi_ref, dbh_ref, dhw_ref, dhb_ref, dltau_ref,
+            gir_s, giz_s, gin_s, hs_s, w_s, scene_s, soc_s, x_s, y_s,
+            gx_s, gy_s, dh_s, h_s, dhseed_s, gdec_s,
+            *, num_refine, delta_scale, grid_g, cd, a_dim, kc):
+    t_len = fmask_ref.shape[1]
+    rows = kc * a_dim
+    d = whr_ref.shape[0]
+    c_dim = wsr_ref.shape[0]
+    precision = _precision_for(cd)
+    f32 = jnp.float32
+
+    fmap = fmap_ref[0]                                    # (G*G, C)
+    live = live_ref[0].astype(f32)                        # (1, rows)
+    ltau = ltau_ref[0, 0].astype(f32)
+    tau = jnp.exp(ltau) + 1e-4
+
+    g2 = grid_g * grid_g
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, g2), 1)
+    col_y = (col // grid_g).astype(f32)
+    col_x = (col - (col // grid_g) * grid_g).astype(f32)
+
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    c_id = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    excl = ((r_id // a_dim) != (c_id // a_dim)) | (r_id == c_id) | (live <= 0)
+    nb_ok = (jnp.sum(jnp.where(excl, 0.0, 1.0), axis=-1,
+                     keepdims=True) > 0).astype(f32)      # (rows, 1)
+
+    hw = hw_ref[:].astype(f32)                            # (d, 4)
+    def hb(i):
+        return hb_ref[0, i].astype(f32)                   # SMEM scalar
+    bir = bir_ref[:].astype(f32)                          # (1, d)
+    biz = biz_ref[:].astype(f32)
+    bin_ = bin_ref[:].astype(f32)
+    bhr = bhr_ref[:].astype(f32)
+    bhz = bhz_ref[:].astype(f32)
+    bhn = bhn_ref[:].astype(f32)
+    wv_r = wvr_ref[:].astype(f32)                         # (2, d)
+    wv_z = wvz_ref[:].astype(f32)
+    wv_n = wvn_ref[:].astype(f32)
+
+    # ---- zero the accumulator outputs ------------------------------------
+    dtx_ref[0, 0] = jnp.zeros((t_len, rows), f32)
+    dty_ref[0, 0] = jnp.zeros((t_len, rows), f32)
+    ddec_ref[0, 0] = jnp.zeros((t_len, rows, d), f32)
+    dmsg_ref[0, 0] = jnp.zeros((t_len, rows, d), f32)
+    dfmap_ref[0, 0] = jnp.zeros((g2, c_dim), f32)
+    dwv_ref[0, 0] = jnp.zeros((8, d), f32)
+    dws_ref[0, 0] = jnp.zeros((3 * c_dim, d), f32)
+    dwo_ref[0, 0] = jnp.zeros((3 * d, d), f32)
+    dwd_ref[0, 0] = jnp.zeros((3 * d, d), f32)
+    dwh_ref[0, 0] = jnp.zeros((3 * d, d), f32)
+    dbi_ref[0, 0] = jnp.zeros((8, d), f32)
+    dbh_ref[0, 0] = jnp.zeros((8, d), f32)
+    dhw_ref[0, 0] = jnp.zeros((8, d), f32)
+    dhb_ref[0, 0] = jnp.zeros((8, 8), f32)
+    dltau_ref[0, 0] = jnp.zeros((8, 128), f32)
+
+    # ---- per-pass forward recompute (dec-block projection is pass-
+    # invariant: compute once) ---------------------------------------------
+    def dec_proj_step(t, _):
+        dec_t = dec_ref[0, 0, pl.ds(t, 1)][0]             # (rows, d)
+        gdec_s[pl.ds(t, 1), :, 0:d] = (
+            _mmf(dec_t, wdr_ref[:], cd, precision) + bir)[None]
+        gdec_s[pl.ds(t, 1), :, d:2 * d] = (
+            _mmf(dec_t, wdz_ref[:], cd, precision) + biz)[None]
+        gdec_s[pl.ds(t, 1), :, 2 * d:3 * d] = (
+            _mmf(dec_t, wdn_ref[:], cd, precision) + bin_)[None]
+        return 0
+
+    jax.lax.fori_loop(0, t_len, dec_proj_step, 0)
+
+    def scene_hot(xT, yT):
+        xs = jnp.clip(xT, 0.0, 1.0) * (grid_g - 1)
+        ys = jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)
+        hot = (jnp.maximum(0.0, 1.0 - jnp.abs(xs - col_x))
+               * jnp.maximum(0.0, 1.0 - jnp.abs(ys - col_y)))
+        return hot, xs, ys
+
+    def feat_step(t, _):
+        x = x_s[pl.ds(t, 1)]                              # (1, rows)
+        y = y_s[pl.ds(t, 1)]
+        xT = jnp.swapaxes(x, 0, 1)
+        yT = jnp.swapaxes(y, 0, 1)
+        sq = x * x + y * y
+        gram = xT * x + yT * y
+        d2 = jnp.swapaxes(sq, 0, 1) + sq - 2.0 * gram
+        logits = jnp.where(excl, -1e9, -d2 / tau)
+        w = jax.nn.softmax(logits, axis=-1) * nb_ok
+        w_s[pl.ds(t, 1)] = w[None]
+        mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
+        soc = _mmf(w, mt, cd, precision)
+        soc_s[pl.ds(t, 1)] = soc[None]
+        hot, _, _ = scene_hot(xT, yT)
+        scene = _mmf(hot, fmap, cd, precision)
+        scene_s[pl.ds(t, 1)] = scene[None]
+        tp = jnp.maximum(t - 1, 0)
+        vx = jnp.swapaxes(x - x_s[pl.ds(tp, 1)], 0, 1)    # (rows, 1)
+        vy = jnp.swapaxes(y - y_s[pl.ds(tp, 1)], 0, 1)
+        gir_s[pl.ds(t, 1)] = (vx * wv_r[0:1] + vy * wv_r[1:2]
+                              + _mmf(scene, wsr_ref[:], cd, precision)
+                              + _mmf(soc, wor_ref[:], cd, precision)
+                              + gdec_s[pl.ds(t, 1)][0][:, 0:d])[None]
+        giz_s[pl.ds(t, 1)] = (vx * wv_z[0:1] + vy * wv_z[1:2]
+                              + _mmf(scene, wsz_ref[:], cd, precision)
+                              + _mmf(soc, woz_ref[:], cd, precision)
+                              + gdec_s[pl.ds(t, 1)][0][:, d:2 * d])[None]
+        gin_s[pl.ds(t, 1)] = (vx * wv_n[0:1] + vy * wv_n[1:2]
+                              + _mmf(scene, wsn_ref[:], cd, precision)
+                              + _mmf(soc, won_ref[:], cd, precision)
+                              + gdec_s[pl.ds(t, 1)][0][:, 2 * d:3 * d])[None]
+        return 0
+
+    def gru_seq(t, _):
+        h_prev = h_s[:]
+        ghr = _mmf(h_prev, whr_ref[:], cd, precision) + bhr
+        ghz = _mmf(h_prev, whz_ref[:], cd, precision) + bhz
+        ghn = _mmf(h_prev, whn_ref[:], cd, precision) + bhn
+        r = jax.nn.sigmoid(gir_s[pl.ds(t, 1)][0] + ghr)
+        z = jax.nn.sigmoid(giz_s[pl.ds(t, 1)][0] + ghz)
+        n = jnp.tanh(gin_s[pl.ds(t, 1)][0] + r * ghn)
+        h_s[:] = (1.0 - z) * n + z * h_prev
+        hs_s[pl.ds(t, 1)] = h_s[:][None]
+        return 0
+
+    fscale = float(delta_scale)
+
+    # ---------------- reverse over passes ----------------------------------
+    def pass_body(pp, _):
+        p = num_refine - pp                               # R, R-1, ..., 0
+
+        x_s[:] = lx_ref[0, 0, pl.ds(p, 1)][0]
+        y_s[:] = ly_ref[0, 0, pl.ds(p, 1)][0]
+        jax.lax.fori_loop(0, t_len, feat_step, 0)
+        h_s[:] = jnp.zeros((rows, d), f32)
+        jax.lax.fori_loop(0, t_len, gru_seq, 0)
+
+        # cotangent of level p+1 also includes d_iters[p] (only for p < R)
+        @pl.when(p < num_refine)
+        def _():
+            gx_s[:] = gx_s[:] + gix_ref[0, 0, pl.ds(p, 1)][0]
+            gy_s[:] = gy_s[:] + giy_ref[0, 0, pl.ds(p, 1)][0]
+
+        is_score = (p == num_refine)
+        zf = jnp.where(is_score, 1.0, 0.0)                # score-pass flag
+        df = 1.0 - zf
+
+        def seed_step(t, _):
+            hs_t = hs_s[pl.ds(t, 1)][0]
+            out1 = _mmf(hs_t, hw[:, 1:2], cd, precision) + hb(1)
+            out2 = _mmf(hs_t, hw[:, 2:3], cd, precision) + hb(2)
+            out3 = _mmf(hs_t, hw[:, 3:4], cd, precision) + hb(3)
+            fmask_t = fmask_ref[0, pl.ds(t, 1)].astype(f32)    # (1, rows)
+            fm_col = jnp.swapaxes(fmask_t, 0, 1)               # (rows, 1)
+
+            d_psi = (jnp.swapaxes(gsc_ref[0, 0, 0:1], 0, 1)
+                     * fm_col) * zf                            # (rows, 1)
+            gxc = jnp.swapaxes(gx_s[pl.ds(t, 1)], 0, 1)
+            gyc = jnp.swapaxes(gy_s[pl.ds(t, 1)], 0, 1)
+            m = fm_col * fscale
+            gate = jax.nn.sigmoid(out1)
+            tx2 = jnp.tanh(out2)
+            ty3 = jnp.tanh(out3)
+            d_dxv = gxc * m * df
+            d_dyv = gyc * m * df
+            d_out2 = d_dxv * gate * (1.0 - tx2 * tx2)
+            d_out3 = d_dyv * gate * (1.0 - ty3 * ty3)
+            d_gate = d_dxv * tx2 + d_dyv * ty3
+            d_out1 = d_gate * gate * (1.0 - gate)
+
+            dhseed_s[pl.ds(t, 1)] = (
+                d_psi * jnp.swapaxes(hw[:, 0:1], 0, 1)
+                + d_out1 * jnp.swapaxes(hw[:, 1:2], 0, 1)
+                + d_out2 * jnp.swapaxes(hw[:, 2:3], 0, 1)
+                + d_out3 * jnp.swapaxes(hw[:, 3:4], 0, 1))[None]
+
+            # head grads: rows 0..3 of the (8, d) accumulator
+            dhw_ref[0, 0, 0:1] = dhw_ref[0, 0, 0:1] + _contract_first(
+                d_psi, hs_t, cd, precision)               # (1, d)
+            dhw_ref[0, 0, 1:2] = dhw_ref[0, 0, 1:2] + _contract_first(
+                d_out1, hs_t, cd, precision)
+            dhw_ref[0, 0, 2:3] = dhw_ref[0, 0, 2:3] + _contract_first(
+                d_out2, hs_t, cd, precision)
+            dhw_ref[0, 0, 3:4] = dhw_ref[0, 0, 3:4] + _contract_first(
+                d_out3, hs_t, cd, precision)
+            dhb_ref[0, 0, 0:1, 0:1] = (dhb_ref[0, 0, 0:1, 0:1]
+                                       + jnp.sum(d_psi, keepdims=True))
+            dhb_ref[0, 0, 1:2, 0:1] = (dhb_ref[0, 0, 1:2, 0:1]
+                                       + jnp.sum(d_out1, keepdims=True))
+            dhb_ref[0, 0, 2:3, 0:1] = (dhb_ref[0, 0, 2:3, 0:1]
+                                       + jnp.sum(d_out2, keepdims=True))
+            dhb_ref[0, 0, 3:4, 0:1] = (dhb_ref[0, 0, 3:4, 0:1]
+                                       + jnp.sum(d_out3, keepdims=True))
+            return 0
+
+        jax.lax.fori_loop(0, t_len, seed_step, 0)
+        dh_s[:] = jnp.zeros((rows, d), f32)
+
+        def bwd_step(tt, _):
+            t = t_len - 1 - tt
+            dh = dhseed_s[pl.ds(t, 1)][0] + dh_s[:]
+            # recompute gates at t
+            tp = jnp.maximum(t - 1, 0)
+            h_prev = jnp.where(t > 0, hs_s[pl.ds(tp, 1)][0],
+                               jnp.zeros((rows, d), f32))
+            ghr = _mmf(h_prev, whr_ref[:], cd, precision) + bhr
+            ghz = _mmf(h_prev, whz_ref[:], cd, precision) + bhz
+            ghn = _mmf(h_prev, whn_ref[:], cd, precision) + bhn
+            r = jax.nn.sigmoid(gir_s[pl.ds(t, 1)][0] + ghr)
+            z = jax.nn.sigmoid(giz_s[pl.ds(t, 1)][0] + ghz)
+            n = jnp.tanh(gin_s[pl.ds(t, 1)][0] + r * ghn)
+
+            dn = dh * (1.0 - z)
+            dz = dh * (h_prev - n)
+            dh_prev = dh * z
+            dnp = dn * (1.0 - n * n)
+            dr = dnp * ghn
+            d_h_n = dnp * r
+            dzp = dz * z * (1.0 - z)
+            drp = dr * r * (1.0 - r)
+
+            dh_prev = (dh_prev
+                       + _contract_last(drp, whr_ref[:], cd, precision)
+                       + _contract_last(dzp, whz_ref[:], cd, precision)
+                       + _contract_last(d_h_n, whn_ref[:], cd, precision))
+            dwh_ref[0, 0, 0:d] = dwh_ref[0, 0, 0:d] + _contract_first(
+                h_prev, drp, cd, precision)
+            dwh_ref[0, 0, d:2 * d] = dwh_ref[0, 0, d:2 * d] + _contract_first(
+                h_prev, dzp, cd, precision)
+            dwh_ref[0, 0, 2 * d:3 * d] = (dwh_ref[0, 0, 2 * d:3 * d]
+                                          + _contract_first(h_prev, d_h_n,
+                                                            cd, precision))
+            dbh_ref[0, 0, 0:1] = dbh_ref[0, 0, 0:1] + jnp.sum(
+                drp, axis=0, keepdims=True)
+            dbh_ref[0, 0, 1:2] = dbh_ref[0, 0, 1:2] + jnp.sum(
+                dzp, axis=0, keepdims=True)
+            dbh_ref[0, 0, 2:3] = dbh_ref[0, 0, 2:3] + jnp.sum(
+                d_h_n, axis=0, keepdims=True)
+            dbi_ref[0, 0, 0:1] = dbi_ref[0, 0, 0:1] + jnp.sum(
+                drp, axis=0, keepdims=True)
+            dbi_ref[0, 0, 1:2] = dbi_ref[0, 0, 1:2] + jnp.sum(
+                dzp, axis=0, keepdims=True)
+            dbi_ref[0, 0, 2:3] = dbi_ref[0, 0, 2:3] + jnp.sum(
+                dnp, axis=0, keepdims=True)
+            dh_s[:] = dh_prev
+
+            # ---- feature blocks ----
+            dec_t = dec_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
+            scene_t = scene_s[pl.ds(t, 1)][0]
+            soc_t = soc_s[pl.ds(t, 1)][0]
+            mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
+            w_t = w_s[pl.ds(t, 1)][0]
+            x = x_s[pl.ds(t, 1)]
+            y = y_s[pl.ds(t, 1)]
+            xT = jnp.swapaxes(x, 0, 1)
+            yT = jnp.swapaxes(y, 0, 1)
+
+            # dec block
+            ddec_ref[0, 0, pl.ds(t, 1)] = (
+                ddec_ref[0, 0, pl.ds(t, 1)]
+                + (_contract_last(drp, wdr_ref[:], cd, precision)
+                   + _contract_last(dzp, wdz_ref[:], cd, precision)
+                   + _contract_last(dnp, wdn_ref[:], cd, precision))[None])
+            dwd_ref[0, 0, 0:d] = dwd_ref[0, 0, 0:d] + _contract_first(
+                dec_t, drp, cd, precision)
+            dwd_ref[0, 0, d:2 * d] = dwd_ref[0, 0, d:2 * d] + _contract_first(
+                dec_t, dzp, cd, precision)
+            dwd_ref[0, 0, 2 * d:3 * d] = (dwd_ref[0, 0, 2 * d:3 * d]
+                                          + _contract_first(dec_t, dnp,
+                                                            cd, precision))
+
+            # scene block
+            d_scene = (_contract_last(drp, wsr_ref[:], cd, precision)
+                       + _contract_last(dzp, wsz_ref[:], cd, precision)
+                       + _contract_last(dnp, wsn_ref[:], cd, precision))
+            dws_ref[0, 0, 0:c_dim] = dws_ref[0, 0, 0:c_dim] + _contract_first(
+                scene_t, drp, cd, precision)
+            dws_ref[0, 0, c_dim:2 * c_dim] = (
+                dws_ref[0, 0, c_dim:2 * c_dim]
+                + _contract_first(scene_t, dzp, cd, precision))
+            dws_ref[0, 0, 2 * c_dim:3 * c_dim] = (
+                dws_ref[0, 0, 2 * c_dim:3 * c_dim]
+                + _contract_first(scene_t, dnp, cd, precision))
+            hot, xs, ys = scene_hot(xT, yT)
+            dfmap_ref[0, 0] = dfmap_ref[0, 0] + _contract_first(
+                hot, d_scene, cd, precision)
+            d_hot = _contract_last(d_scene, fmap, cd, precision)  # (rows,G2)
+            ax = jnp.abs(xs - col_x)
+            ay = jnp.abs(ys - col_y)
+            tent_x = jnp.maximum(0.0, 1.0 - ax)
+            tent_y = jnp.maximum(0.0, 1.0 - ay)
+            dtent_x = jnp.where(ax < 1.0, -jnp.sign(xs - col_x), 0.0)
+            dtent_y = jnp.where(ay < 1.0, -jnp.sign(ys - col_y), 0.0)
+            in01_x = ((xT > 0.0) & (xT < 1.0)).astype(f32) * (grid_g - 1)
+            in01_y = ((yT > 0.0) & (yT < 1.0)).astype(f32) * (grid_g - 1)
+            gpx = jnp.sum(d_hot * dtent_x * tent_y, axis=-1,
+                          keepdims=True) * in01_x          # (rows, 1)
+            gpy = jnp.sum(d_hot * tent_x * dtent_y, axis=-1,
+                          keepdims=True) * in01_y
+
+            # social block
+            d_soc = (_contract_last(drp, wor_ref[:], cd, precision)
+                     + _contract_last(dzp, woz_ref[:], cd, precision)
+                     + _contract_last(dnp, won_ref[:], cd, precision))
+            dwo_ref[0, 0, 0:d] = dwo_ref[0, 0, 0:d] + _contract_first(
+                soc_t, drp, cd, precision)
+            dwo_ref[0, 0, d:2 * d] = dwo_ref[0, 0, d:2 * d] + _contract_first(
+                soc_t, dzp, cd, precision)
+            dwo_ref[0, 0, 2 * d:3 * d] = (dwo_ref[0, 0, 2 * d:3 * d]
+                                          + _contract_first(soc_t, dnp,
+                                                            cd, precision))
+            dmsg_ref[0, 0, pl.ds(t, 1)] = (
+                dmsg_ref[0, 0, pl.ds(t, 1)]
+                + _contract_first(w_t, d_soc, cd, precision)[None])
+            d_w = _contract_last(d_soc, mt, cd, precision)  # (rows, rows)
+            d_sm = d_w * nb_ok
+            row_dot = jnp.sum(d_sm * w_t, axis=-1, keepdims=True)
+            d_l = w_t * d_sm - w_t * row_dot
+            d_l = jnp.where(excl, 0.0, d_l)
+            d_d2 = -d_l / tau
+            # tau adjoint: l = -d2/tau -> dl/dtau = d2/tau^2;
+            # d_ltau = sum(d_l * d2)/tau^2 * dtau/dltau, dtau/dltau = e^ltau
+            sq = x * x + y * y
+            gram = xT * x + yT * y
+            d2v = jnp.swapaxes(sq, 0, 1) + sq - 2.0 * gram
+            dltau_ref[0, 0, 0:1, 0:1] = dltau_ref[0, 0, 0:1, 0:1] + (
+                jnp.sum(d_l * d2v, keepdims=True)[0:1, 0:1]
+                / (tau * tau) * jnp.exp(ltau))
+            rs = jnp.sum(d_d2, axis=-1, keepdims=True)     # (rows, 1)
+            cs = jnp.swapaxes(jnp.sum(d_d2, axis=0, keepdims=True), 0, 1)
+            symm = d_d2 + jnp.swapaxes(d_d2, 0, 1)
+            gpx = gpx + 2.0 * ((rs + cs) * xT
+                               - _mmf(symm, xT, cd, precision))
+            gpy = gpy + 2.0 * ((rs + cs) * yT
+                               - _mmf(symm, yT, cd, precision))
+
+            # velocity block
+            d_vx = (jnp.sum(drp * wv_r[0:1], axis=-1, keepdims=True)
+                    + jnp.sum(dzp * wv_z[0:1], axis=-1, keepdims=True)
+                    + jnp.sum(dnp * wv_n[0:1], axis=-1, keepdims=True))
+            d_vy = (jnp.sum(drp * wv_r[1:2], axis=-1, keepdims=True)
+                    + jnp.sum(dzp * wv_z[1:2], axis=-1, keepdims=True)
+                    + jnp.sum(dnp * wv_n[1:2], axis=-1, keepdims=True))
+            vx = jnp.swapaxes(x - x_s[pl.ds(tp, 1)], 0, 1)
+            vy = jnp.swapaxes(y - y_s[pl.ds(tp, 1)], 0, 1)
+            # rows 0..5 of the (8, d) accumulator: [r|z|n] x [vx|vy]
+            dwv_ref[0, 0, 0:1] = dwv_ref[0, 0, 0:1] + _contract_first(
+                vx, drp, cd, precision)
+            dwv_ref[0, 0, 1:2] = dwv_ref[0, 0, 1:2] + _contract_first(
+                vy, drp, cd, precision)
+            dwv_ref[0, 0, 2:3] = dwv_ref[0, 0, 2:3] + _contract_first(
+                vx, dzp, cd, precision)
+            dwv_ref[0, 0, 3:4] = dwv_ref[0, 0, 3:4] + _contract_first(
+                vy, dzp, cd, precision)
+            dwv_ref[0, 0, 4:5] = dwv_ref[0, 0, 4:5] + _contract_first(
+                vx, dnp, cd, precision)
+            dwv_ref[0, 0, 5:6] = dwv_ref[0, 0, 5:6] + _contract_first(
+                vy, dnp, cd, precision)
+
+            # position grads (not on the final re-score pass)
+            @pl.when(p < num_refine)
+            def _():
+                gx_s[pl.ds(t, 1)] = (gx_s[pl.ds(t, 1)]
+                                     + jnp.swapaxes(gpx, 0, 1))
+                gy_s[pl.ds(t, 1)] = (gy_s[pl.ds(t, 1)]
+                                     + jnp.swapaxes(gpy, 0, 1))
+
+                @pl.when(t > 0)
+                def _():
+                    dvx_r = jnp.swapaxes(d_vx, 0, 1)       # (1, rows)
+                    dvy_r = jnp.swapaxes(d_vy, 0, 1)
+                    gx_s[pl.ds(t, 1)] = gx_s[pl.ds(t, 1)] + dvx_r
+                    gy_s[pl.ds(t, 1)] = gy_s[pl.ds(t, 1)] + dvy_r
+                    gx_s[pl.ds(t - 1, 1)] = gx_s[pl.ds(t - 1, 1)] - dvx_r
+                    gy_s[pl.ds(t - 1, 1)] = gy_s[pl.ds(t - 1, 1)] - dvy_r
+            return 0
+
+        jax.lax.fori_loop(0, t_len, bwd_step, 0)
+        return 0
+
+    gx_s[:] = grx_ref[0, 0]
+    gy_s[:] = gry_ref[0, 0]
+    jax.lax.fori_loop(0, num_refine + 1, pass_body, 0)
+    dtx_ref[0, 0] = gx_s[:]
+    dty_ref[0, 0] = gy_s[:]
+
+
+def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+                   iters, d_refined, d_scores, d_iters, *, num_refine,
+                   delta_scale, interpret=False):
+    """Drive the backward kernel; returns cotangents
+    (d_traj, d_dec, d_msg, d_feat_map, grads_gru, grads_heads, d_ltau)
+    where grads_gru = {'wi','wh','bi','bh'} matching p_ioc['gru'][0] and
+    grads_heads = {'score','gate','delta'} (each {'w','b'}).
+
+    Shapes follow ioc_refine_fused; iters is its collect_iters output
+    (R, B, A, K, T, 2).
+    """
+    import functools
+
+    b, a, k, t, _ = traj.shape
+    a_orig = a
+    a_pad = max(-(-a // 8) * 8, 8)
+    if a_pad != a:
+        pad5 = [(0, 0)] * 5
+        pad5[1] = (0, a_pad - a)
+        traj = jnp.pad(traj, pad5)
+        dec_h = jnp.pad(dec_h, pad5)
+        msg = jnp.pad(msg, pad5)
+        d_refined = jnp.pad(d_refined, pad5)
+        live = jnp.pad(live, ((0, 0), (0, a_pad - a)))
+        fut_mask = jnp.pad(fut_mask, ((0, 0), (0, a_pad - a), (0, 0)))
+        d_scores = jnp.pad(d_scores, ((0, 0), (0, a_pad - a), (0, 0)))
+        pad6 = [(0, 0)] * 6
+        pad6[2] = (0, a_pad - a)
+        iters = jnp.pad(iters, pad6)
+        d_iters = jnp.pad(d_iters, pad6)
+        a = a_pad
+    d = dec_h.shape[-1]
+    g = feat_map.shape[1]
+    c = feat_map.shape[-1]
+    gp = p_ioc["gru"][0]
+    cd = dec_h.dtype
+    kc = _pick_chunk(k, a)
+    chunks = k // kc
+    rows = kc * a
+    nr = int(num_refine)
+    f32 = jnp.float32
+
+    def to_chunk_major(arr):
+        trailing = arr.shape[4:]
+        arr = arr.reshape(b, a, chunks, kc, t, *trailing)
+        arr = jnp.moveaxis(arr, (2, 4, 3, 1), (1, 2, 3, 4))
+        return arr.reshape(b, chunks, t, rows, *trailing)
+
+    def iters_to_chunk_major(arr):
+        """(R, B, A, K, T) -> (B, Ch, R, T, rows)."""
+        arr = arr.reshape(nr, b, a, chunks, kc, t)
+        arr = jnp.transpose(arr, (1, 3, 0, 5, 4, 2))      # (b,Ch,R,t,kc,a)
+        return arr.reshape(b, chunks, nr, t, rows)
+
+    tcm = to_chunk_major(traj.astype(f32))                # (B,Ch,T,rows,2)
+    # levels: [traj_in, iter_1..iter_R] along a leading iteration dim
+    lev_x = jnp.concatenate(
+        [tcm[..., 0][:, :, None],
+         iters_to_chunk_major(iters[..., 0])], axis=2)
+    lev_y = jnp.concatenate(
+        [tcm[..., 1][:, :, None],
+         iters_to_chunk_major(iters[..., 1])], axis=2)    # (B,Ch,R+1,T,rows)
+    dec_cm = to_chunk_major(dec_h)
+    msg_cm = to_chunk_major(msg)
+    grx = to_chunk_major(d_refined.astype(f32))
+    grx_x, grx_y = grx[..., 0], grx[..., 1]
+    gi_cm_x = iters_to_chunk_major(d_iters[..., 0].astype(f32))
+    gi_cm_y = iters_to_chunk_major(d_iters[..., 1].astype(f32))
+    fmap_flat = feat_map.reshape(b, g * g, c)
+    live_t = jnp.tile(live, (1, kc))[:, None, :]
+    fmask_t = jnp.tile(jnp.swapaxes(fut_mask, 1, 2), (1, 1, kc))
+    gsc = d_scores.astype(f32)                            # (B, A, K)
+    gsc = jnp.moveaxis(gsc.reshape(b, a, chunks, kc), 1, 3)
+    gsc = gsc.reshape(b, chunks, 1, rows)
+    ltau = p_scf["soc_logtau"].reshape(1, 1).astype(f32)
+
+    # per-gate weight splits (wi rows: [vel(2) | scene(C) | social(d) | dec])
+    wi, wh = gp["wi"], gp["wh"]
+    gates = [wi[:, i * d:(i + 1) * d] for i in range(3)]
+    wv = [w[:2] for w in gates]
+    ws = [w[2:2 + c] for w in gates]
+    wo = [w[2 + c:2 + c + d] for w in gates]
+    wd = [w[2 + c + d:] for w in gates]
+    whg = [wh[:, i * d:(i + 1) * d] for i in range(3)]
+    big = [gp["bi"][i * d:(i + 1) * d][None] for i in range(3)]
+    bhg = [gp["bh"][i * d:(i + 1) * d][None] for i in range(3)]
+    heads_w = jnp.concatenate(
+        [p_ioc["score"]["w"], p_ioc["gate"]["w"], p_ioc["delta"]["w"]],
+        axis=-1)
+    heads_b = jnp.concatenate(
+        [p_ioc["score"]["b"], p_ioc["gate"]["b"], p_ioc["delta"]["b"]])
+
+    kernel = functools.partial(
+        _kernel, num_refine=nr, delta_scale=float(delta_scale),
+        grid_g=int(g), cd=cd, a_dim=a, kc=kc)
+
+    def bk(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    plane = lambda bi, ci: (bi, ci, 0, 0)
+    block5 = lambda bi, ci: (bi, ci, 0, 0, 0)
+    per_b = lambda bi, ci: (bi, 0, 0)
+    pc4 = lambda bi, ci: (bi, ci, 0, 0)
+
+    n_w = lambda: bk(None, None)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, chunks),
+        in_specs=[
+            bk((1, 1, nr + 1, t, rows), block5),           # levels x
+            bk((1, 1, nr + 1, t, rows), block5),           # levels y
+            bk((1, 1, t, rows, d), block5),                # dec
+            bk((1, 1, t, rows, d), block5),                # msg
+            bk((1, g * g, c), per_b),                      # fmap
+            bk((1, 1, rows), per_b),                       # live
+            bk((1, t, rows), per_b),                       # fmask
+        ] + [n_w() for _ in range(22)] + [
+            pl.BlockSpec((1, 4), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.SMEM),         # heads_b
+            pl.BlockSpec((1, 1), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.SMEM),         # ltau
+            bk((1, 1, t, rows), plane),                    # g refined x
+            bk((1, 1, t, rows), plane),                    # g refined y
+            bk((1, 1, 1, rows), pc4),                      # g scores
+            bk((1, 1, nr, t, rows), block5),               # g iters x
+            bk((1, 1, nr, t, rows), block5),               # g iters y
+        ],
+        out_specs=[
+            bk((1, 1, t, rows), plane),                    # d traj x
+            bk((1, 1, t, rows), plane),                    # d traj y
+            bk((1, 1, t, rows, d), block5),                # d dec
+            bk((1, 1, t, rows, d), block5),                # d msg
+            bk((1, 1, g * g, c), pc4),                     # d fmap
+            bk((1, 1, 8, d), pc4),                         # d wv
+            bk((1, 1, 3 * c, d), pc4),                     # d ws
+            bk((1, 1, 3 * d, d), pc4),                     # d wo
+            bk((1, 1, 3 * d, d), pc4),                     # d wd
+            bk((1, 1, 3 * d, d), pc4),                     # d wh
+            bk((1, 1, 8, d), pc4),                         # d bi
+            bk((1, 1, 8, d), pc4),                         # d bh
+            bk((1, 1, 8, d), pc4),                         # d heads w
+            bk((1, 1, 8, 8), pc4),                         # d heads b
+            bk((1, 1, 8, 128), pc4),                       # d ltau
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, chunks, t, rows), f32),
+            jax.ShapeDtypeStruct((b, chunks, t, rows), f32),
+            jax.ShapeDtypeStruct((b, chunks, t, rows, d), f32),
+            jax.ShapeDtypeStruct((b, chunks, t, rows, d), f32),
+            jax.ShapeDtypeStruct((b, chunks, g * g, c), f32),
+            jax.ShapeDtypeStruct((b, chunks, 8, d), f32),
+            jax.ShapeDtypeStruct((b, chunks, 3 * c, d), f32),
+            jax.ShapeDtypeStruct((b, chunks, 3 * d, d), f32),
+            jax.ShapeDtypeStruct((b, chunks, 3 * d, d), f32),
+            jax.ShapeDtypeStruct((b, chunks, 3 * d, d), f32),
+            jax.ShapeDtypeStruct((b, chunks, 8, d), f32),
+            jax.ShapeDtypeStruct((b, chunks, 8, d), f32),
+            jax.ShapeDtypeStruct((b, chunks, 8, d), f32),
+            jax.ShapeDtypeStruct((b, chunks, 8, 8), f32),
+            jax.ShapeDtypeStruct((b, chunks, 8, 128), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t, rows, d), f32),                 # gir
+            pltpu.VMEM((t, rows, d), f32),                 # giz
+            pltpu.VMEM((t, rows, d), f32),                 # gin
+            pltpu.VMEM((t, rows, d), f32),                 # hs
+            pltpu.VMEM((t, rows, rows), f32),              # attention w
+            pltpu.VMEM((t, rows, c), f32),                 # scene
+            pltpu.VMEM((t, rows, d), f32),                 # social
+            pltpu.VMEM((t, rows), f32),                    # x plane
+            pltpu.VMEM((t, rows), f32),                    # y plane
+            pltpu.VMEM((t, rows), f32),                    # g x
+            pltpu.VMEM((t, rows), f32),                    # g y
+            pltpu.VMEM((rows, d), f32),                    # dh carry
+            pltpu.VMEM((rows, d), f32),                    # h carry
+            pltpu.VMEM((t, rows, d), f32),                 # dh seeds
+            pltpu.VMEM((t, rows, 3 * d), f32),             # dec projection
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(lev_x, lev_y, dec_cm, msg_cm, fmap_flat, live_t, fmask_t,
+      wv[0], wv[1], wv[2], ws[0], ws[1], ws[2],
+      wo[0], wo[1], wo[2], wd[0], wd[1], wd[2],
+      whg[0], whg[1], whg[2],
+      big[0], big[1], big[2], bhg[0], bhg[1], bhg[2],
+      heads_w, heads_b[None], ltau,
+      grx_x, grx_y, gsc, gi_cm_x, gi_cm_y)
+
+    (dtx, dty, ddec_cm, dmsg_cm, dfmap_cm, dwv_p, dws_p, dwo_p, dwd_p,
+     dwh_p, dbi_p, dbh_p, dhw_p, dhb_p, dltau_p) = outs
+
+    def from_chunk_major(arr):
+        trailing = arr.shape[4:]
+        arr = arr.reshape(b, chunks, t, kc, a, *trailing)
+        arr = jnp.moveaxis(arr, (4, 1, 3, 2), (1, 2, 3, 4))
+        return arr.reshape(b, a, k, t, *trailing)
+
+    d_traj = from_chunk_major(jnp.stack([dtx, dty], axis=-1))[:, :a_orig]
+    d_dec = from_chunk_major(ddec_cm)[:, :a_orig].astype(cd)
+    d_msg = from_chunk_major(dmsg_cm)[:, :a_orig].astype(cd)
+    d_fmap = jnp.sum(dfmap_cm, axis=1).reshape(b, g, g, c).astype(
+        feat_map.dtype)
+
+    # weight partials: sum over (batch, chunk) programs, then reassemble
+    dwv = jnp.sum(dwv_p, axis=(0, 1))                      # (8, d)
+    dws = jnp.sum(dws_p, axis=(0, 1))                      # (3C, d)
+    dwo = jnp.sum(dwo_p, axis=(0, 1))
+    dwd = jnp.sum(dwd_p, axis=(0, 1))
+    dwh = jnp.sum(dwh_p, axis=(0, 1))
+    dbi = jnp.sum(dbi_p, axis=(0, 1))
+    dbh = jnp.sum(dbh_p, axis=(0, 1))
+    dhw = jnp.sum(dhw_p, axis=(0, 1))
+    dhb = jnp.sum(dhb_p, axis=(0, 1))
+    d_ltau = jnp.sum(dltau_p, axis=(0, 1))[0, 0]
+
+    wdt = gp["wi"].dtype
+    wi_grad = jnp.concatenate([
+        jnp.concatenate([dwv[2 * i:2 * i + 2], dws[i * c:(i + 1) * c],
+                         dwo[i * d:(i + 1) * d], dwd[i * d:(i + 1) * d]],
+                        axis=0)
+        for i in range(3)], axis=1).astype(wdt)            # (F, 3d)
+    # dwh blocks are h_prev^T @ d_gate = (d_in, d_gate) — wh orientation
+    wh_grad = jnp.concatenate([dwh[i * d:(i + 1) * d]
+                               for i in range(3)], axis=1).astype(wdt)
+    bi_grad = jnp.concatenate([dbi[i] for i in range(3)]).astype(wdt)
+    bh_grad = jnp.concatenate([dbh[i] for i in range(3)]).astype(wdt)
+    grads_gru = {"wi": wi_grad, "wh": wh_grad, "bi": bi_grad, "bh": bh_grad}
+    grads_heads = {
+        "score": {"w": dhw[0:1].swapaxes(0, 1).astype(wdt),
+                  "b": dhb[0:1, 0].astype(wdt)},
+        "gate": {"w": dhw[1:2].swapaxes(0, 1).astype(wdt),
+                 "b": dhb[1:2, 0].astype(wdt)},
+        "delta": {"w": dhw[2:4].swapaxes(0, 1).astype(wdt),
+                  "b": dhb[2:4, 0].astype(wdt)},
+    }
+    return (d_traj, d_dec, d_msg, d_fmap, grads_gru, grads_heads,
+            d_ltau.astype(wdt))

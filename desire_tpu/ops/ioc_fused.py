@@ -422,7 +422,7 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     return refined[:, :a_orig], sc[:, :a_orig], iters[:, :, :a_orig]
 
 
-def make_trainable_fused_ioc(cfg, interpret=False):
+def make_trainable_fused_ioc(cfg, interpret=False, backward="xla"):
     """TRAINABLE fused rank-and-refine (VERDICT r2 item 3).
 
     Forward = the fused Pallas kernel (collect_iters=True, so the
@@ -461,13 +461,53 @@ def make_trainable_fused_ioc(cfg, interpret=False):
         return refined, scores.astype(dec_h.dtype), iters
 
     def fwd(*args):
-        return fn(*args), args
+        out = fn(*args)
+        if backward == "pallas":
+            return out, (args, out[2])     # keep the per-iter planes
+        return out, args
 
-    def bwd(args, cts):
+    def bwd_xla(args, cts):
         _, vjp_fn = jax.vjp(xla_fn, *args)
         return vjp_fn(cts)
 
-    fn.defvjp(fwd, bwd)
+    def bwd_pallas(res, cts):
+        """Full Pallas backward (ops/ioc_bwd.py): in-kernel recompute +
+        reverse accumulation; no XLA replay of the forward."""
+        from desire_tpu.ops.ioc_bwd import ioc_refine_bwd
+        (p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask), iters = res
+        d_refined, d_scores, d_iters = cts
+        msg = scf_mod.social_messages(p_scf, dec_h)
+        (d_traj, d_dec, d_msg, d_fmap, g_gru, g_heads,
+         d_ltau) = ioc_refine_bwd(
+            p_ioc, p_scf, traj.astype(jnp.float32), dec_h, msg, feat_map,
+            live, fut_mask, iters, d_refined, d_scores, d_iters,
+            num_refine=num_refine, delta_scale=ioc_mod._DELTA_SCALE,
+            interpret=interpret)
+        # chain msg = dec_h @ W + b back into dec_h and the scf params
+        w_msg = p_scf["soc_msg"]["w"]
+        d_dec_total = d_dec + jnp.einsum(
+            "...o,io->...i", d_msg.astype(jnp.float32),
+            w_msg.astype(jnp.float32)).astype(d_dec.dtype)
+        dm = d_msg.astype(jnp.float32)
+        dh32 = dec_h.astype(jnp.float32)
+        d_wmsg = jnp.einsum("baktd,bakto->do", dh32, dm).astype(w_msg.dtype)
+        d_bmsg = jnp.sum(dm, axis=(0, 1, 2, 3)).astype(w_msg.dtype)
+        d_p_ioc = {
+            "gru": [dict(g_gru)],
+            "score": g_heads["score"],
+            "gate": g_heads["gate"],
+            "delta": g_heads["delta"],
+        }
+        d_p_scf = jax.tree_util.tree_map(jnp.zeros_like, p_scf)
+        d_p_scf["soc_msg"] = {"w": d_wmsg, "b": d_bmsg}
+        d_p_scf["soc_logtau"] = jnp.asarray(
+            d_ltau, p_scf["soc_logtau"].dtype).reshape(
+            p_scf["soc_logtau"].shape)
+        return (d_p_ioc, d_p_scf, d_traj.astype(traj.dtype),
+                d_dec_total.astype(dec_h.dtype), d_fmap,
+                jnp.zeros_like(live), jnp.zeros_like(fut_mask))
+
+    fn.defvjp(fwd, bwd_pallas if backward == "pallas" else bwd_xla)
     return fn
 
 

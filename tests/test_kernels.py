@@ -341,3 +341,67 @@ def test_fused_sgm_sampler_matches_xla_forward():
                                  vel_bound=(gain * s + floor)[:, None])
     np.testing.assert_allclose(np.asarray(raw5), np.asarray(ref["raw5"]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_backward_ioc_gradient_parity():
+    """The full Pallas backward (ops/ioc_bwd.py) must reproduce jax.grad of
+    the XLA ioc_forward for every input and parameter."""
+    from desire_tpu.models.ioc import ioc_forward
+    from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    fused = make_trainable_fused_ioc(cfg, interpret=True, backward="pallas")
+    wts = jax.random.normal(jax.random.PRNGKey(9), live.shape + (3,))
+
+    def loss_fused(p_ioc, p_scf, traj, dec_h, feat_map):
+        refined, scores, iters = fused(p_ioc, p_scf, traj, dec_h,
+                                       feat_map, live, fut_mask)
+        return (jnp.sum(refined ** 2) + jnp.sum(scores * wts)
+                + jnp.sum(iters ** 2) + jnp.sum(jnp.sin(refined)))
+
+    def loss_xla(p_ioc, p_scf, traj, dec_h, feat_map):
+        refined, scores, per_iter = ioc_forward(
+            p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+        return (jnp.sum(refined ** 2) + jnp.sum(scores * wts)
+                + jnp.sum(jnp.stack(per_iter) ** 2)
+                + jnp.sum(jnp.sin(refined)))
+
+    args = (p_ioc, p_scf, traj, dec_h, feat_map)
+    v_f, g_f = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    v_x, g_x = jax.value_and_grad(loss_xla, argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-4)
+    flat_f, tree_f = jax.tree_util.tree_flatten_with_path(g_f)
+    flat_x = jax.tree_util.tree_leaves(g_x)
+    assert len(flat_f) == len(flat_x)
+    for (path, af), ax in zip(flat_f, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(af), np.asarray(ax), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_pallas_backward_ioc_parity_chunked():
+    """Same parity with a multi-chunk lane layout (kc < K) and 4 refinement
+    iterations — the flagship configuration's control flow."""
+    from desire_tpu.models.ioc import ioc_forward
+    from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env(
+        seed=1, b=1, a=33, k=10, t=4)
+    cfg = cfg.replace(num_refine=4)
+    fused = make_trainable_fused_ioc(cfg, interpret=True, backward="pallas")
+
+    def loss_fused(p_ioc, traj, dec_h):
+        refined, scores, iters = fused(p_ioc, p_scf, traj, dec_h,
+                                       feat_map, live, fut_mask)
+        return jnp.sum(refined ** 2) + jnp.sum(scores) + jnp.sum(iters ** 2)
+
+    def loss_xla(p_ioc, traj, dec_h):
+        refined, scores, per_iter = ioc_forward(
+            p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+        return (jnp.sum(refined ** 2) + jnp.sum(scores)
+                + jnp.sum(jnp.stack(per_iter) ** 2))
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(p_ioc, traj, dec_h)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(p_ioc, traj, dec_h)
+    for af, ax in zip(jax.tree_util.tree_leaves(g_f),
+                      jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(af), np.asarray(ax),
+                                   rtol=2e-3, atol=2e-4)
