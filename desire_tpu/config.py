@@ -144,6 +144,15 @@ class DesireConfig:
     #                              pedestrian share one hypothesis
     #                              distribution) — the round-2 fast-agent gap.
     #                              Zero-init = starts exactly at N(0, I)
+    prior_lane_frac: float = 0.0  # fraction of TRAIN-time hypothesis lanes
+    #                              drawn from the (conditional) prior instead
+    #                              of the posterior. Posterior draws cluster
+    #                              around the observed future, so the IOC
+    #                              ranker never sees the diverse lanes it
+    #                              must discriminate at inference; prior
+    #                              lanes close that train/test gap and give
+    #                              the best-of-K NLL a direct prior-
+    #                              predictive term. 0 = round-2 behavior
     vae_dec: str = "mlp"         # latent -> mask decoder: 'mlp' (default) or
     #                              'conv' (the reference's 4-deconv stack,
     #                              model/model.py:453-469). The deconv path

@@ -411,6 +411,17 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
         mu, logvar = vae_encode(p, hx, hy, side)
         eps = jax.random.normal(key, (n, K, lat), hx.dtype)
         z = mu[:, None] + jnp.exp(0.5 * logvar)[:, None] * eps
+        kp = int(round(K * cfg.prior_lane_frac))
+        if kp > 0:
+            # the first kp lanes sample the PRIOR during training
+            # (config.py prior_lane_frac): the IOC ranker and the variety
+            # loss see inference-like lane diversity
+            if mu_p is not None:
+                z_pr = (mu_p[:, None]
+                        + jnp.exp(0.5 * logvar_p)[:, None] * eps)
+            else:
+                z_pr = eps
+            z = jnp.concatenate([z_pr[:, :kp], z[:, kp:]], axis=1)
     else:
         mu = logvar = None
         eps = jax.random.normal(key, (n, K, lat), hx.dtype)
