@@ -111,6 +111,15 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
     params = init_desire(jax.random.PRNGKey(cfg.seed), cfg)
     state = create_train_state(cfg, params, loader.num_batches)
     mgr = ckpt_mod.CheckpointManager(cfg.save_dir) if cfg.save_dir else None
+    # best-by-held-out selection: keep the checkpoint with the lowest
+    # held-out minADE seen so far under <save_dir>/best (only meaningful
+    # when eval runs on a held-out split — in-sample "best" would just be
+    # the most-overfit state)
+    best_mgr = None
+    best_metric = float("inf")
+    if mgr is not None and eval_every and eval_held_out and is_main:
+        best_mgr = ckpt_mod.CheckpointManager(
+            os.path.join(cfg.save_dir, "best"), keep=1)
 
     start_epoch, start_batch = 0, 0
     if resume and mgr is not None:
@@ -185,6 +194,11 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
                           max_batches=max_eval_batches)
             log.log(dict(ev, event="eval", epoch=epoch,
                          held_out=eval_held_out))
+            if best_mgr is not None and ev["minADE_px"] < best_metric:
+                best_metric = ev["minADE_px"]
+                best_mgr.save(state, loader.state, cfg)
+                log.log({"event": "best", "epoch": epoch,
+                         "minADE_px": best_metric})
         epoch += 1
     if mgr is not None:
         mgr.wait()
