@@ -69,18 +69,6 @@ def _kernel(feats_ref, mask_ref, rho_ref, eps_ref,
     rows = k_lanes * nb
     precision = _precision_for(cd)
 
-    ebi = ebi_ref[:].astype(jnp.float32)
-    ebh = ebh_ref[:].astype(jnp.float32)
-    ewh = ewh_ref[:]
-
-    def enc_gi_step(t, _):
-        f_t = feats_ref[pl.ds(t, 1)][0]                   # (NB, emb)
-        gie_scr[pl.ds(t, 1)] = (_mm(f_t, ewi_ref[:], cd, precision)
-                                + ebi)[None]
-        return 0
-
-    jax.lax.fori_loop(0, to, enc_gi_step, 0)
-
     def gru(gi, gh, h):
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
@@ -89,20 +77,37 @@ def _kernel(feats_ref, mask_ref, rho_ref, eps_ref,
         n = jnp.tanh(i_n + r * h_n)
         return (1.0 - z) * n + z * h
 
-    h_scr[:] = jnp.zeros((nb, d), jnp.float32)
+    # Lane-chunk grid axis (innermost): the per-agent encode depends only on
+    # the agent block, so it runs once at chunk 0 and its final state stays
+    # in scratch (TPU grid iteration is sequential) for the later chunks.
+    @pl.when(pl.program_id(1) == 0)
+    def _encode():
+        ebi = ebi_ref[:].astype(jnp.float32)
+        ebh = ebh_ref[:].astype(jnp.float32)
+        ewh = ewh_ref[:]
 
-    def enc_step(t, _):
-        h = h_scr[:]
-        gh = _mm(h, ewh, cd, precision) + ebh
-        h_new = gru(gie_scr[pl.ds(t, 1)][0], gh, h)
-        # mask-freeze semantics (layers.gru_scan): masked steps carry state
-        m = jnp.swapaxes(mask_ref[pl.ds(t, 1)], 0, 1)     # (NB, 1)
-        h_scr[:] = jnp.where(m > 0, h_new, h)
-        return 0
+        def enc_gi_step(t, _):
+            f_t = feats_ref[pl.ds(t, 1)][0]               # (NB, emb)
+            gie_scr[pl.ds(t, 1)] = (_mm(f_t, ewi_ref[:], cd, precision)
+                                    + ebi)[None]
+            return 0
 
-    jax.lax.fori_loop(0, to, enc_step, 0)
+        jax.lax.fori_loop(0, to, enc_gi_step, 0)
+        h_scr[:] = jnp.zeros((nb, d), jnp.float32)
+
+        def enc_step(t, _):
+            h = h_scr[:]
+            gh = _mm(h, ewh, cd, precision) + ebh
+            h_new = gru(gie_scr[pl.ds(t, 1)][0], gh, h)
+            # mask-freeze semantics (layers.gru_scan): masked steps carry
+            m = jnp.swapaxes(mask_ref[pl.ds(t, 1)], 0, 1)  # (NB, 1)
+            h_scr[:] = jnp.where(m > 0, h_new, h)
+            return 0
+
+        jax.lax.fori_loop(0, to, enc_step, 0)
+        hx_ref[0] = h_scr[:]
+
     hx = h_scr[:]                                          # (NB, d) f32
-    hx_ref[0] = hx
 
     # conditional prior p(z|X); zero weights == standard normal
     pr = _mm(hx, prw_ref[:], cd, precision) + prb_ref[:].astype(jnp.float32)
@@ -119,7 +124,7 @@ def _kernel(feats_ref, mask_ref, rho_ref, eps_ref,
     sig_rep = _mm(sel, sig_p, cd, precision)
     rho_rep = _mm(sel, rho_ref[0].astype(jnp.float32), cd, precision)
 
-    z = mu_rep + sig_rep * eps_ref[:].astype(jnp.float32)  # (rows, lat)
+    z = mu_rep + sig_rep * eps_ref[0].astype(jnp.float32)  # (rows, lat)
 
     # latent -> mask MLP (vae_decode_mask, 'mlp' path) -> softmax beta.
     # elu written out: Mosaic has no expm1 lowering (exp(x)-1 differs from
@@ -151,15 +156,30 @@ def _kernel(feats_ref, mask_ref, rho_ref, eps_ref,
     def dec_step(t, h):
         gh = _mm(h, dwh, cd, precision) + dbh
         h = gru(gi_d, gh, h)
-        hs_ref[pl.ds(t, 1)] = h.astype(hs_ref.dtype)[None]
+        hs_ref[0, pl.ds(t, 1)] = h.astype(hs_ref.dtype)[None]
         return h
 
     jax.lax.fori_loop(0, pred_len, dec_step, h_dec_init)
 
 
+# Upper bound on decode rows (block_rows * k_chunk) alive in one grid step.
+# The per-row VMEM bill is ~15 KB (the (rows, 1024) recon + (rows, 512) h1 +
+# the (T, rows, d) hs block dominate); 3200 rows keeps the scoped stack near
+# ~70 MB, inside the 96 MB limit. K=50 at block_rows=128 (6400 rows in one
+# chunk) measured 115.6 MB and failed to compile — hence the chunking.
+_MAX_DECODE_ROWS = 3200
+
+
+def _pick_k_chunk(k, nb):
+    kc = max(1, min(k, _MAX_DECODE_ROWS // nb))
+    while k % kc:
+        kc -= 1
+    return kc
+
+
 def sgm_sample_decode_fused(p, feats_emb, obs_mask, rho_seed, eps,
                             pred_len, *, compute_dtype=jnp.float32,
-                            block_rows=128, interpret=False):
+                            block_rows=128, k_chunk=None, interpret=False):
     # block_rows=128: the (To, N) mask blocks along its LANE dim, so the
     # block must be a 128 multiple (Mosaic tiling rule); 128 agent rows x
     # K lanes also keeps every matmul operand MXU-sized
@@ -170,6 +190,10 @@ def sgm_sample_decode_fused(p, feats_emb, obs_mask, rho_seed, eps,
     obs_mask  (N, To); rho_seed (N, d) — relu(dense(rho_proj, rho));
     eps (N, K, lat) — standard-normal draws from the session PRNG.
     Returns (dec_h (N, K, pred_len, d) f32, hx (N, d) f32).
+
+    K lanes stream through a second (innermost) grid axis in chunks of
+    _pick_k_chunk(K, block_rows) so VMEM stays bounded for any K; the
+    encoder runs once per agent block and its state persists in scratch.
     """
     n, to, emb = feats_emb.shape
     _, k, lat = eps.shape
@@ -196,11 +220,18 @@ def sgm_sample_decode_fused(p, feats_emb, obs_mask, rho_seed, eps,
 
     feats_tm = jnp.swapaxes(feats_emb, 0, 1)              # (To, Npad, emb)
     mask_tm = jnp.swapaxes(obs_mask, 0, 1)                # (To, Npad)
-    eps_flat = eps.reshape(n_pad * k, lat)                # agent-major rows
 
-    grid = (n_pad // nb,)
-    rows = nb * k
-    kernel = functools.partial(_kernel, k_lanes=int(k),
+    kc = k_chunk if k_chunk is not None else _pick_k_chunk(k, nb)
+    assert k % kc == 0, (k, kc)
+    kch = k // kc
+    # chunk-major eps layout: eps_cm[j, n*kc + c] = eps[n, j*kc + c], so the
+    # j-th chunk's rows for an agent block are one contiguous slab
+    eps_cm = jnp.transpose(eps.reshape(n_pad, kch, kc, lat),
+                           (1, 0, 2, 3)).reshape(kch, n_pad * kc, lat)
+
+    grid = (n_pad // nb, kch)
+    rows = nb * kc
+    kernel = functools.partial(_kernel, k_lanes=int(kc),
                                pred_len=int(pred_len), cd=compute_dtype)
 
     def bk(shape, imap):
@@ -210,18 +241,19 @@ def sgm_sample_decode_fused(p, feats_emb, obs_mask, rho_seed, eps,
         kernel,
         grid=grid,
         in_specs=[
-            bk((to, nb, emb), lambda i: (0, i, 0)),       # feats
-            bk((to, nb), lambda i: (0, i)),               # mask
-            bk((1, nb, d), lambda i: (0, i, 0)),          # rho_seed
-            bk((rows, lat), lambda i: (i, 0)),            # eps
+            bk((to, nb, emb), lambda i, j: (0, i, 0)),    # feats
+            bk((to, nb), lambda i, j: (0, i)),            # mask
+            bk((1, nb, d), lambda i, j: (0, i, 0)),       # rho_seed
+            bk((1, rows, lat), lambda i, j: (j, i, 0)),   # eps (chunk-major)
         ] + [bk(None, None)] * 20,                        # weights, whole
 
         out_specs=[
-            bk((pred_len, rows, d), lambda i: (0, i, 0)),  # hs
-            bk((1, nb, d), lambda i: (i, 0, 0)),           # hx
+            bk((1, pred_len, rows, d), lambda i, j: (j, 0, i, 0)),  # hs
+            bk((1, nb, d), lambda i, j: (i, 0, 0)),                 # hx
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((pred_len, n_pad * k, d), jnp.float32),
+            jax.ShapeDtypeStruct((kch, pred_len, n_pad * kc, d),
+                                 jnp.float32),
             jax.ShapeDtypeStruct((n_pad // nb, nb, d), jnp.float32),
         ],
         scratch_shapes=[
@@ -232,7 +264,7 @@ def sgm_sample_decode_fused(p, feats_emb, obs_mask, rho_seed, eps,
         # default 16 MB scoped-vmem stack at block_rows=128 (~32 MB needed)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
-    )(feats_tm, mask_tm, rho_seed[None], eps_flat,
+    )(feats_tm, mask_tm, rho_seed[None], eps_cm,
       enc["wi"], enc["wh"], enc["bi"], enc["bh"],
       prw, prb,
       p["vdec_fc1"]["w"], p["vdec_fc1"]["b"],
@@ -242,6 +274,7 @@ def sgm_sample_decode_fused(p, feats_emb, obs_mask, rho_seed, eps,
       p["z_skip"]["w"], p["z_skip"]["b"],
       dec["wi"], dec["wh"], dec["bi"], dec["bh"])
 
-    # (T, Npad*K, d) -> (N, K, T, d)
-    dec_h = jnp.moveaxis(hs.reshape(pred_len, n_pad, k, d), 0, 2)[:n]
+    # (kch, T, Npad*kc, d) -> (N, K, T, d)
+    dec_h = jnp.transpose(hs.reshape(kch, pred_len, n_pad, kc, d),
+                          (2, 0, 3, 1, 4)).reshape(n_pad, k, pred_len, d)[:n]
     return dec_h, hx.reshape(n_pad, d)[:n]

@@ -343,6 +343,40 @@ def test_fused_sgm_sampler_matches_xla_forward():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_fused_sgm_sampler_lane_chunked_matches_single_chunk():
+    """The K-chunk grid axis (VMEM bound for large K, e.g. the K=50 eval that
+    OOMed the 96 MB scoped stack) must be bit-compatible with one chunk:
+    encoder state persists in scratch across chunks of the same agent block."""
+    from desire_tpu.config import DesireConfig
+    from desire_tpu.models import layers as L
+    from desire_tpu.models import sgm
+    from desire_tpu.ops.sgm_fused import sgm_sample_decode_fused
+
+    cfg = DesireConfig(obs_len=5, pred_len=6, num_samples=6, d_dim=16,
+                      latent_size=8, embedding_size=8, channel_multiplier=10,
+                      compute_dtype="float32", rnn_size=128)
+    p = sgm.init_sgm(jax.random.PRNGKey(0), cfg)
+    n = 10                                  # 2 agent blocks at block_rows=8
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (n, cfg.obs_len, 2))
+    m_o = jnp.ones((n, cfg.obs_len)).at[3, :2].set(0.0)
+    origin = obs[:, -1]
+    rel = (obs - origin[:, None]) * m_o[..., None]
+    feats = jax.nn.relu(L.dense(p["embed_x"], sgm._traj_feats(rel, m_o)))
+    rho_seed = jax.nn.relu(L.dense(
+        p["rho_proj"], sgm.temporal_features(p, rel, m_o)))
+    eps = jax.random.normal(jax.random.PRNGKey(2),
+                            (n, cfg.num_samples, cfg.latent_size))
+
+    one = sgm_sample_decode_fused(p, feats, m_o, rho_seed, eps, cfg.pred_len,
+                                  block_rows=8, k_chunk=6, interpret=True)
+    chunked = sgm_sample_decode_fused(p, feats, m_o, rho_seed, eps,
+                                      cfg.pred_len, block_rows=8, k_chunk=2,
+                                      interpret=True)
+    for a, b in zip(chunked, one):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_pallas_backward_ioc_gradient_parity():
     """The full Pallas backward (ops/ioc_bwd.py) must reproduce jax.grad of
     the XLA ioc_forward for every input and parameter."""
