@@ -134,6 +134,25 @@ class DesireConfig:
     #                              (initialized at the config values): training
     #                              calibrates the residual envelope instead of
     #                              trusting the hand-picked 2.0/0.004
+    input_norm: bool = False     # scale-free trajectory encoding: divide the
+    #                              ENCODER-side relative coordinates by the
+    #                              agent's observed speed (stop-gradient) and
+    #                              append log-speed as an input feature, so a
+    #                              bike and a walker tracing the same shape
+    #                              present identical inputs and the GRU/embed
+    #                              weights are shared across speed classes
+    #                              (the round-2/3 fast-agent gap: >=20px/step
+    #                              agents carried ~3x the walker error).
+    #                              Geometry (origin, CV composition, NLL
+    #                              targets, IOC/SCF) stays absolute; the
+    #                              speed-adaptive bound already rescales the
+    #                              decoder output side
+    speed_loss_alpha: float = 0.0  # class-balance exponent: per-agent loss
+    #                              weight (speed / batch-mean-speed)^alpha
+    #                              (re-normalized to mean 1 over live
+    #                              agents). Fast agents are ~13% of SDD
+    #                              windows; alpha>0 stops walkers from
+    #                              dominating the gradient. 0 = off
     cond_prior: bool = True      # conditional CVAE prior p(z|X): a zero-init
     #                              head on the past encoding emits
     #                              (mu_p, logvar_p); KLD pulls the posterior

@@ -181,6 +181,20 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
     # AND target, model/model.py:351-366)
     live = live * (jnp.sum(fut_mask, axis=-1) > 0).astype(live.dtype)
 
+    if cfg.speed_loss_alpha > 0:
+        # speed-balanced weighting (config.py speed_loss_alpha): scale the
+        # live mask by (speed / batch-mean-speed)^alpha, renormalized to
+        # mean 1 over live agents — masked_mean then computes a weighted
+        # mean, so EVERY loss term below is class-balanced the same way
+        s = sgm_mod.observed_speed(
+            out["obs_xy"].reshape(-1, out["obs_xy"].shape[2], 2),
+            out["obs_mask"].reshape(-1, out["obs_mask"].shape[2]))
+        s = jax.lax.stop_gradient(s.reshape(live.shape))
+        mean_s = losses.masked_mean(s, live)
+        w = ((s + 1e-4) / (mean_s + 1e-4)) ** cfg.speed_loss_alpha
+        w = w / jnp.maximum(losses.masked_mean(w, live), 1e-6)
+        live = live * w
+
     # (B, A, K) step-summed NLL of ground truth under each lane's gaussians
     raw5 = out["raw5"].astype(f32)
     b, a, K, tf_len, _ = raw5.shape

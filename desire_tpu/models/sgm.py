@@ -46,10 +46,11 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
     cm = cfg.channel_multiplier
     side = cfg.vae_side
     lat = cfg.latent_size
+    in_f = 5 if cfg.input_norm else 4     # +log-speed under input_norm
     p = {
-        # input feature embedding: [xy_rel, dxy] -> emb
-        "embed_x": L.init_dense(ks[0], 4, emb, dtype),
-        "embed_y": L.init_dense(ks[1], 4, emb, dtype),
+        # input feature embedding: [xy_rel, dxy(, log-speed)] -> emb
+        "embed_x": L.init_dense(ks[0], in_f, emb, dtype),
+        "embed_y": L.init_dense(ks[1], in_f, emb, dtype),
         "enc_x": L.init_gru_stack(ks[2], emb, d, cfg.num_layers, dtype),
         "enc_y": L.init_gru_stack(ks[3], emb, d, cfg.num_layers, dtype),
         # depthwise temporal conv over the full obs window:
@@ -159,21 +160,30 @@ def temporal_features(p, rel_xy, obs_mask):
     return jax.nn.relu(feat)
 
 
-def _traj_feats(xy_rel, mask):
-    """Per-step input features: [position, velocity], masked."""
+def _traj_feats(xy_rel, mask, extra=None):
+    """Per-step input features: [position, velocity(, extra)], masked.
+
+    extra: optional (N, F) per-agent features broadcast over the window
+    (input_norm appends log-speed here so the scale removed from the
+    coordinates stays visible to the network)."""
     d = jnp.diff(xy_rel, axis=1, prepend=xy_rel[:, :1])
-    return jnp.concatenate([xy_rel, d], -1) * mask[..., None]
+    fs = [xy_rel, d]
+    if extra is not None:
+        fs.append(jnp.broadcast_to(extra[:, None],
+                                   xy_rel.shape[:2] + extra.shape[-1:]))
+    return jnp.concatenate(fs, -1) * mask[..., None]
 
 
 def encode_trajectory(stack, embed_p, xy_rel, mask, dropout_key=None,
-                      keep_prob=1.0):
+                      keep_prob=1.0, extra=None):
     """GRU-encode a trajectory. xy_rel: (N, T, 2), mask: (N, T).
     Returns top-layer final hidden (N, H).
 
     keep_prob < 1 with a dropout_key applies inverted dropout to the
     embedded features (train only) — the reference declared this flag but
     never wired it (train.py:62-63, SURVEY §5 config row)."""
-    feats = jax.nn.relu(L.dense(embed_p, _traj_feats(xy_rel, mask)))
+    feats = jax.nn.relu(L.dense(embed_p, _traj_feats(xy_rel, mask,
+                                                     extra=extra)))
     if dropout_key is not None and keep_prob < 1.0:
         keep = jax.random.bernoulli(dropout_key, keep_prob, feats.shape)
         feats = feats * keep.astype(feats.dtype) / keep_prob
@@ -337,7 +347,18 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     key, kdx, kdy = jax.random.split(key, 3)
     kp = cfg.keep_prob if train else 1.0
 
-    rho = temporal_features(p, rel_obs.astype(cd), obs_mask.astype(cd))
+    # scale-free encoding (config.py input_norm): the encoders see the
+    # trajectory SHAPE (coords / observed speed) plus an explicit log-speed
+    # feature; geometry below (origin, CV composition, NLL targets) stays
+    # absolute. Speed is stop-gradient (data-derived, like the bound).
+    enc_rel, enc_extra, inv_scale = rel_obs, None, None
+    if cfg.input_norm:
+        s_obs = jax.lax.stop_gradient(observed_speed(rel_obs, obs_mask))
+        inv_scale = 1.0 / (s_obs + cfg.vel_floor)             # (N, 1)
+        enc_rel = rel_obs * inv_scale[:, None]
+        enc_extra = jnp.log1p(s_obs / cfg.vel_floor).astype(cd)
+
+    rho = temporal_features(p, enc_rel.astype(cd), obs_mask.astype(cd))
     rho_seed = jax.nn.relu(L.dense(p["rho_proj"], rho))          # (N, d)
 
     from desire_tpu import ops as ops_mod
@@ -351,8 +372,9 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
         # the two paths draw identical latents
         from desire_tpu.ops.sgm_fused import sgm_sample_decode_fused
         feats = jax.nn.relu(L.dense(
-            p["embed_x"], _traj_feats(rel_obs.astype(cd),
-                                      obs_mask.astype(cd))))
+            p["embed_x"], _traj_feats(enc_rel.astype(cd),
+                                      obs_mask.astype(cd),
+                                      extra=enc_extra)))
         eps = jax.random.normal(key, (n, K, lat), cd)
         dec_h_f32, hx = sgm_sample_decode_fused(
             p, feats, obs_mask, rho_seed.astype(jnp.float32), eps,
@@ -387,9 +409,9 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
         }
 
     hx, hx_all = encode_trajectory(p["enc_x"], p["embed_x"],
-                                   rel_obs.astype(cd), obs_mask.astype(cd),
+                                   enc_rel.astype(cd), obs_mask.astype(cd),
                                    dropout_key=kdx if train else None,
-                                   keep_prob=kp)
+                                   keep_prob=kp, extra=enc_extra)
 
     # conditional prior p(z|X) (config.py cond_prior): zero-init head ->
     # starts exactly N(0, I). logvar is tanh-bounded (smooth, keeps gradients
@@ -405,9 +427,12 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
         fut_xy = fut_xy.astype(jnp.float32)
         fut_mask = fut_mask.astype(jnp.float32)
         rel_fut = (fut_xy - origin[:, None]) * fut_mask[..., None]
+        if inv_scale is not None:
+            rel_fut = rel_fut * inv_scale[:, None]   # same per-agent scale
         hy, _ = encode_trajectory(p["enc_y"], p["embed_y"],
                                   rel_fut.astype(cd), fut_mask.astype(cd),
-                                  dropout_key=kdy, keep_prob=kp)
+                                  dropout_key=kdy, keep_prob=kp,
+                                  extra=enc_extra)
         mu, logvar = vae_encode(p, hx, hy, side)
         eps = jax.random.normal(key, (n, K, lat), hx.dtype)
         z = mu[:, None] + jnp.exp(0.5 * logvar)[:, None] * eps

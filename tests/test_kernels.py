@@ -296,9 +296,12 @@ def test_trainable_fused_ioc_gradient_parity():
 # Fused SGM CVAE sampler kernel (ops/sgm_fused.py, north-star kernel (a))
 # ---------------------------------------------------------------------------
 
-def test_fused_sgm_sampler_matches_xla_forward():
+@pytest.mark.parametrize("input_norm", [False, True])
+def test_fused_sgm_sampler_matches_xla_forward(input_norm):
     """encode -> prior draw -> mask MLP -> K-lane decode in one kernel must
-    reproduce sgm_forward's inference outputs (same PRNG draws)."""
+    reproduce sgm_forward's inference outputs (same PRNG draws) — including
+    under input_norm (scale-free features + log-speed channel, computed
+    OUTSIDE the kernel so both paths must wire them identically)."""
     from desire_tpu.config import DesireConfig
     from desire_tpu.models import layers as L
     from desire_tpu.models import sgm
@@ -306,7 +309,8 @@ def test_fused_sgm_sampler_matches_xla_forward():
 
     cfg = DesireConfig(obs_len=5, pred_len=6, num_samples=4, d_dim=16,
                       latent_size=8, embedding_size=8, channel_multiplier=10,
-                      compute_dtype="float32", rnn_size=128)  # MLP VAE side 16
+                      compute_dtype="float32", rnn_size=128,  # MLP VAE side 16
+                      input_norm=input_norm)
     key = jax.random.PRNGKey(0)
     p = sgm.init_sgm(key, cfg)
     n = 7                                   # odd: exercises row padding
@@ -320,8 +324,14 @@ def test_fused_sgm_sampler_matches_xla_forward():
     # replicate the fused branch's precompute + PRNG stream
     origin = obs[:, -1]
     rel = (obs - origin[:, None]) * m_o[..., None]
-    feats = jax.nn.relu(L.dense(p["embed_x"], sgm._traj_feats(rel, m_o)))
-    rho = sgm.temporal_features(p, rel, m_o)
+    enc_rel, extra = rel, None
+    if input_norm:
+        s_obs = sgm.observed_speed(rel, m_o)
+        enc_rel = rel * (1.0 / (s_obs + cfg.vel_floor))[:, None]
+        extra = jnp.log1p(s_obs / cfg.vel_floor)
+    feats = jax.nn.relu(L.dense(p["embed_x"],
+                                sgm._traj_feats(enc_rel, m_o, extra=extra)))
+    rho = sgm.temporal_features(p, enc_rel, m_o)
     rho_seed = jax.nn.relu(L.dense(p["rho_proj"], rho))
     key2, _, _ = jax.random.split(k0, 3)
     eps = jax.random.normal(key2, (n, cfg.num_samples, cfg.latent_size))

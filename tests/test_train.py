@@ -81,6 +81,59 @@ def test_train_step_decreases_loss(env):
     assert last < first - 1.0, f"no learning: first={first}, last={last}"
 
 
+def test_input_norm_speed_balanced_loss():
+    """Fast-agent features (config.py input_norm / speed_loss_alpha, the
+    round-2 VERDICT's >20 px/step gap): scale-free encoding + class-balanced
+    weighting must (1) keep loss/grads finite — including for a zero-speed
+    agent, where the 1/(speed+floor) scale is the hazard, (2) upweight the
+    fast agent relative to the walker (alpha>0 pulls the batch loss toward
+    the worse fast-agent term), (3) train end-to-end."""
+    from desire_tpu.models.desire import desire_loss
+    cfg = micro_cfg("unused", use_ioc=False, use_scf=False, kld_warmup=1,
+                    input_norm=True, speed_loss_alpha=1.0)
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    B, A = cfg.batch_size, cfg.max_num_obj
+    T = cfg.obs_len + cfg.pred_len
+    rng = np.random.default_rng(3)
+    # agent 0 fast (12 px/step), agent 1 slow (0.5), agent 2 STATIONARY
+    xy = np.zeros((B, T, A, 2), np.float32)
+    for a, speed in enumerate([12.0, 0.5, 0.0] + [1.0] * (A - 3)):
+        v = rng.standard_normal(2)
+        v = speed * v / (np.linalg.norm(v) + 1e-9)
+        p0 = rng.uniform(30, 70, 2)
+        xy[:, :, a] = p0 + v * np.arange(T)[:, None]
+    xy = jnp.asarray(xy)
+    mask = jnp.ones((B, T, A))
+    ids = jnp.tile(jnp.arange(1, A + 1)[None], (B, 1))
+    key = jax.random.PRNGKey(1)
+
+    loss, aux = desire_loss(params, cfg, xy, mask, ids, key=key, step=0)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: desire_loss(p, cfg, xy, mask, ids,
+                                       key=key, step=0)[0])(params)
+    assert all(np.all(np.isfinite(np.asarray(x, np.float32)))
+               for x in jax.tree_util.tree_leaves(g))
+
+    # weighting property: under a fresh model the fast agent carries the
+    # larger error, so upweighting it must raise the batch loss
+    cfg0 = micro_cfg("unused", use_ioc=False, use_scf=False,
+                     input_norm=True, speed_loss_alpha=0.0)
+    loss0, _ = desire_loss(params, cfg0, xy, mask, ids, key=key, step=0)
+    assert float(loss) > float(loss0), (
+        f"alpha=1 did not upweight the fast agent: {loss} vs {loss0}")
+
+    # a short training run must still learn
+    state = create_train_state(cfg, params, steps_per_epoch=100)
+    step_fn = trainer.make_train_step(cfg, 100)
+    first = last = None
+    for i in range(30):
+        state, m = step_fn(state, xy, mask, ids)
+        if first is None:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert np.isfinite(last) and last < first
+
+
 class _TransientFaultLoader:
     """Wraps a loader; serves NaN-poisoned batches for one whole epoch, once
     (a transient fault — e.g. a bad host read or a device glitch)."""

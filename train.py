@@ -202,6 +202,11 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
         epoch += 1
     if mgr is not None:
         mgr.wait()
+    if best_mgr is not None:
+        # orbax saves are async: without this, an exit right after a final
+        # best-checkpoint save races interpreter shutdown ("cannot schedule
+        # new futures after interpreter shutdown") and can truncate the ckpt
+        best_mgr.wait()
     return state
 
 
