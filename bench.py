@@ -17,10 +17,21 @@ A trajectory = one K-lane hypothesis for one agent slot: value =
 B * A * K / sec. Shapes follow the paper protocol (8 obs / 12 pred steps).
 
 Extra keys on the same line (round-2 additions): training-step throughput,
-and MFU/roofline utilisation from XLA's compiled cost analysis — model FLOPs
-vs the chip's matmul peak AND bytes-accessed vs HBM bandwidth, because a
-model this small (params fit in VMEM; activations dominated by (B*A*K, d)
-GRU chains) is expected to be bandwidth-, not FLOP-, limited.
+and MFU/roofline utilisation — model FLOPs vs the chip's matmul peak AND
+bytes-accessed vs HBM bandwidth, because a model this small (params fit in
+VMEM; activations dominated by (B*A*K, d) GRU chains) is expected to be
+bandwidth-, not FLOP-, limited.
+
+Cost counting (round-3 fix): XLA's cost analysis sees a Pallas kernel as an
+opaque zero-FLOP custom call, so with the fused forward the compiled
+executable under-counts by ~100x (measured: mfu 0.060 -> 0.0007 when the
+fused sampler landed). FLOPs/bytes are therefore counted on the UNFUSED
+(use_pallas=False) lowering of the same math and divided by the measured
+time of the path actually benchmarked. mfu is thus standard algorithmic
+MFU; hbm_frac is effective bandwidth relative to the unfused program's
+traffic — the fused path physically moves fewer bytes, so values near or
+above 1.0 mean the kernels beat the unfused roofline, not that HBM is
+saturated.
 
 ``python bench.py --breakdown`` prints an additional stage-by-stage timing
 table (SGM / +SCF / +IOC, and K/A sweeps) to stderr for the roofline story.
@@ -65,6 +76,16 @@ def _cost_analysis(compiled):
             ca = ca[0]
         return (float(ca.get("flops", 0.0)),
                 float(ca.get("bytes accessed", 0.0)))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _algo_cost(jit_fn, *args):
+    """Algorithmic (flops, bytes) of a jitted fn, counted on its own
+    lowering. Callers pass a function built with use_pallas=False so the
+    count covers the real math (see module docstring)."""
+    try:
+        return _cost_analysis(jax.jit(jit_fn).lower(*args).compile())
     except Exception:
         return 0.0, 0.0
 
@@ -117,7 +138,15 @@ def bench(cfg=None, iters=10, warmup=3):
 
     keys = [jax.random.PRNGKey(i) for i in range(warmup + iters)]
     compiled = jax.jit(fwd).lower(params, xy, mask, ids, keys[0]).compile()
-    flops, nbytes = _cost_analysis(compiled)
+
+    cfg_x = cfg.replace(use_pallas=False)
+
+    def fwd_xla(params, xy, mask, ids, key):
+        out = desire_forward(params, cfg_x, xy, mask, ids, key=key,
+                             train=False)
+        return out["refined_traj"], out["scores"]
+
+    flops, nbytes = _algo_cost(fwd_xla, params, xy, mask, ids, keys[0])
 
     it = iter(list(keys) * 2)
     dt = _time_compiled(lambda: compiled(params, xy, mask, ids, next(it)),
@@ -139,10 +168,10 @@ def bench_train(cfg=None, iters=10, warmup=3):
     xy, mask, ids = make_batch(cfg)
     step_fn = trainer.make_train_step(cfg, 190)
 
-    lowered = jax.jit(
-        lambda s, xy, mask, ids: step_fn(s, xy, mask, ids)).lower(
-        state, xy, mask, ids)
-    flops, nbytes = _cost_analysis(lowered.compile())
+    # return the FULL (state, metrics) so nothing (e.g. the whole param
+    # update) is dead-code-eliminated out of the count
+    step_fn_xla = trainer.make_train_step(cfg.replace(use_pallas=False), 190)
+    flops, nbytes = _algo_cost(step_fn_xla, state, xy, mask, ids)
 
     # step_fn donates state; thread it through the timing loop
     holder = {"state": state}
@@ -186,7 +215,13 @@ def breakdown(iters=10, warmup=3):
 
         key = jax.random.PRNGKey(0)
         compiled = jax.jit(fwd).lower(params, xy, mask, ids, key).compile()
-        flops, nbytes = _cost_analysis(compiled)
+        cfg_x = cfg.replace(use_pallas=False)
+
+        def fwd_xla(params, xy, mask, ids, key, cfg_x=cfg_x):
+            return desire_forward(params, cfg_x, xy, mask, ids, key=key,
+                                  train=False)["refined_traj"]
+
+        flops, nbytes = _algo_cost(fwd_xla, params, xy, mask, ids, key)
         dt = _time_compiled(lambda: compiled(params, xy, mask, ids, key),
                             iters, warmup)
         rows.append({
