@@ -61,6 +61,42 @@ def per_agent_min_ade_fde(pred, gt, step_mask, scale=None):
     return jnp.min(ade, axis=-1), jnp.min(fde, axis=-1)
 
 
+def track_decomposition(pred, gt, step_mask, scale=None):
+    """Along-/cross-track decomposition of the best-of-K lane's error.
+
+    The diagnostic behind the fast-agent gap (RESULTS speed tables): is the
+    bike error speed misestimation (along the ground-truth tangent) or
+    direction/turn error (perpendicular)? The reference frame is the GT
+    path's unit tangent at each step (step 0 borrows step 1's tangent);
+    steps where the GT barely moves (<1e-6) are excluded — there is no
+    meaningful tangent.
+
+    pred (B, A, K, T, 2); gt (B, A, T, 2); step_mask (B, A, T); scale (B,).
+    Returns (along (B, A), cross (B, A), weight (B, A)): per-agent masked
+    mean |error·tangent| and |error×tangent| of the min-ADE lane, and a 0/1
+    weight (agent had >=1 decomposable step)."""
+    if scale is not None:
+        pred = pred * scale[:, None, None, None, None]
+        gt = gt * scale[:, None, None, None]
+    ade, _ = displacement_errors(pred, gt, step_mask)
+    k_best = jnp.argmin(ade, axis=-1)                            # (B, A)
+    best = jnp.take_along_axis(
+        pred, k_best[..., None, None, None], axis=2)[:, :, 0]    # (B,A,T,2)
+    tan = jnp.diff(gt, axis=-2, prepend=gt[..., :1, :])
+    if gt.shape[-2] > 1:
+        tan = tan.at[..., 0, :].set(tan[..., 1, :])
+    tn = jnp.linalg.norm(tan, axis=-1, keepdims=True)
+    ok = (tn[..., 0] > 1e-6).astype(gt.dtype) * step_mask        # (B,A,T)
+    u = tan / jnp.maximum(tn, 1e-6)
+    e = best - gt
+    along = jnp.abs(jnp.sum(e * u, axis=-1))
+    cross = jnp.abs(e[..., 0] * u[..., 1] - e[..., 1] * u[..., 0])
+    denom = jnp.maximum(jnp.sum(ok, axis=-1), 1e-8)
+    return (jnp.sum(along * ok, axis=-1) / denom,
+            jnp.sum(cross * ok, axis=-1) / denom,
+            (jnp.sum(ok, axis=-1) > 0).astype(gt.dtype))
+
+
 def best_of_k_by_score(pred, scores):
     """Pick each agent's top-scored hypothesis (IOC ranking output).
     pred (B, A, K, T, 2), scores (B, A, K) -> (B, A, T, 2)."""

@@ -85,6 +85,8 @@ def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
             out["sgm_traj"].astype(jnp.float32), gt, sm, scale=scale)
         res["rank_pct"], res["rank_corr"] = M.per_agent_ranking(
             scores, traj, gt, sm)
+        res["along"], res["cross"], res["dec_w"] = M.track_decomposition(
+            traj, gt, sm, scale=scale)
         # observed speed (px/step at the protocol rate) per agent
         om = out["obs_mask"].astype(jnp.float32)
         both = om[..., 1:] * om[..., :-1]
@@ -142,12 +144,23 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
                           horizon_steps=tuple(h * hz for h in horizons),
                           calibration=calibration, pit_bins=pit_bins)
 
+    dec_acc: dict = {}
+
     def add(tag, a, f, b_ade, n):
         d = acc.setdefault(tag, [0.0, 0.0, 0.0, 0.0])
         d[0] += a
         d[1] += f
         d[2] += b_ade
         d[3] += n
+
+    def add_dec(tag, res, sel):
+        # along/cross-track decomposition of the min-ADE lane (only steps
+        # with a defined GT tangent count — dec_w gates agents with none)
+        d = dec_acc.setdefault(tag, [0.0, 0.0, 0.0])
+        wd = sel * res["dec_w"]
+        d[0] += float(np.sum(res["along"] * wd))
+        d[1] += float(np.sum(res["cross"] * wd))
+        d[2] += float(np.sum(wd))
 
     for bi, batch in enumerate(loader.epoch_batches(epoch)):
         if max_batches is not None and bi >= max_batches:
@@ -163,6 +176,7 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
 
         add("__all__", wsum(res["ade"]), wsum(res["fde"]),
             wsum(res["top1_ade"]), float(np.sum(w)))
+        add_dec("__all__", res, w)
         add("__sgm__", wsum(res["sgm_ade"]), wsum(res["sgm_fde"]),
             wsum(res["sgm_ade"]), float(np.sum(w)))
         add("__rank__", wsum(res["rank_pct"]), wsum(res["rank_corr"]),
@@ -183,6 +197,7 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
                 tag = f"speed[{lo:g},{hi:g})px/step"
                 add(tag, wsum(res["ade"], sel), wsum(res["fde"], sel),
                     wsum(res["top1_ade"], sel), n_s)
+                add_dec(tag, res, sel)
         for i, h in enumerate(horizons):
             ha, hf, ba, bf, cov = res[f"h{i}"]
             sel = w * cov
@@ -198,12 +213,17 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
             cal_acc["cov"][0.9] += float(res["cov_90"])
             cal_acc["cov_n"] += float(res["cov_w"])
 
-    def summarize(d):
+    def summarize(d, tag=None):
         w = max(d[3], 1e-8)
-        return {"minADE_px": d[0] / w, "minFDE_px": d[1] / w,
-                "top1ADE_px": d[2] / w, "num_agents": d[3]}
+        out = {"minADE_px": d[0] / w, "minFDE_px": d[1] / w,
+               "top1ADE_px": d[2] / w, "num_agents": d[3]}
+        dec = dec_acc.get(tag)
+        if dec and dec[2] > 0:
+            out["alongADE_px"] = dec[0] / dec[2]
+            out["crossADE_px"] = dec[1] / dec[2]
+        return out
 
-    result = dict(summarize(acc.get("__all__", [0.0] * 4)),
+    result = dict(summarize(acc.get("__all__", [0.0] * 4), "__all__"),
                   K=k_samples or cfg.num_samples)
     sgm = summarize(acc.get("__sgm__", [0.0] * 4))
     result["sgm_minADE_px"] = sgm["minADE_px"]
@@ -214,7 +234,7 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
         result["rank_top1_pctile"] = rank[0] / rank[3]
         result["rank_score_corr"] = rank[1] / rank[3]
     if speed_bins:
-        result["speed_classes"] = {k: summarize(v) for k, v in acc.items()
+        result["speed_classes"] = {k: summarize(v, k) for k, v in acc.items()
                                    if k.startswith("speed[")}
     if per_scene:
         result["per_scene"] = {

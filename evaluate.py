@@ -30,10 +30,15 @@ _GEOMETRY_FIELDS = ("d_dim", "latent_size", "embedding_size", "rnn_size",
                     "num_layers", "channel_multiplier", "scene_grid",
                     "scene_channels", "use_ioc", "use_scf", "use_social",
                     "num_refine", "vel_scale", "speed_norm", "vel_gain",
-                    "vel_floor", "cond_prior", "learn_bound",
-                    "vae_dec")  # vel_scale/speed_norm/... shape the forward
-#                      pass — restoring without them would silently rescale
-#                      every residual
+                    "vel_floor", "cond_prior", "learn_bound", "vae_dec",
+                    "input_norm",  # changes the embed width (4 vs 5 feats) —
+                    #                an input_norm-trained ckpt evaluated
+                    #                without it is a shape mismatch
+                    "obs_len", "pred_len", "subsample", "max_num_obj",
+                    "protocol")  # window geometry the model was trained on
+#                      vel_scale/speed_norm/... shape the forward pass —
+#                      restoring without them would silently rescale every
+#                      residual
 
 
 def main(argv=None):

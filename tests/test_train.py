@@ -282,6 +282,31 @@ def test_cvae_best_of_k_covers_bimodal_future():
     assert ratio < 0.85, f"best-of-K not better than single lane: {ratio:.2f}"
 
 
+def test_track_decomposition_closed_form():
+    """GT moves along +x; a pure-x prediction offset must be along-track,
+    a pure-y offset cross-track; a stationary GT contributes no
+    decomposable steps (weight 0)."""
+    from desire_tpu.eval.metrics import track_decomposition
+    T = 4
+    gt = np.zeros((1, 3, T, 2), np.float32)
+    gt[0, :2, :, 0] = np.arange(T)            # agents 0,1 move along +x
+    # agent 2 stays at the origin (no tangent)
+    pred = np.repeat(gt[:, :, None], 2, axis=2)  # K=2 copies
+    pred[0, 0, 0, :, 0] += 3.0                # agent 0 lane 0: +x offset
+    pred[0, 0, 1] += 100.0                    # lane 1 far away (not min-ADE)
+    pred[0, 1, 0, :, 1] += 2.0                # agent 1 lane 0: +y offset
+    pred[0, 1, 1] += 100.0
+    sm = np.ones((1, 3, T), np.float32)
+    along, cross, w = jax.tree.map(
+        np.asarray, track_decomposition(jnp.asarray(pred), jnp.asarray(gt),
+                                        jnp.asarray(sm)))
+    np.testing.assert_allclose(along[0, 0], 3.0, atol=1e-5)
+    np.testing.assert_allclose(cross[0, 0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(along[0, 1], 0.0, atol=1e-5)
+    np.testing.assert_allclose(cross[0, 1], 2.0, atol=1e-5)
+    assert w[0, 0] == 1.0 and w[0, 1] == 1.0 and w[0, 2] == 0.0
+
+
 def test_min_ade_fde_closed_form():
     # 1 batch, 2 agents, 2 hypotheses, 3 steps
     gt = jnp.zeros((1, 2, 3, 2))
