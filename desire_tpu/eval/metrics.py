@@ -61,15 +61,16 @@ def per_agent_min_ade_fde(pred, gt, step_mask, scale=None):
     return jnp.min(ade, axis=-1), jnp.min(fde, axis=-1)
 
 
-def track_decomposition(pred, gt, step_mask, scale=None):
+def track_decomposition(pred, gt, step_mask, scale=None, min_step_px=0.25):
     """Along-/cross-track decomposition of the best-of-K lane's error.
 
     The diagnostic behind the fast-agent gap (RESULTS speed tables): is the
     bike error speed misestimation (along the ground-truth tangent) or
     direction/turn error (perpendicular)? The reference frame is the GT
     path's unit tangent at each step (step 0 borrows step 1's tangent);
-    steps where the GT barely moves (<1e-6) are excluded — there is no
-    meaningful tangent.
+    steps where the GT moves less than min_step_px are excluded — SDD
+    annotations are integer pixels, so sub-pixel steps carry quantization
+    noise, not a direction.
 
     pred (B, A, K, T, 2); gt (B, A, T, 2); step_mask (B, A, T); scale (B,).
     Returns (along (B, A), cross (B, A), weight (B, A)): per-agent masked
@@ -86,7 +87,7 @@ def track_decomposition(pred, gt, step_mask, scale=None):
     if gt.shape[-2] > 1:
         tan = tan.at[..., 0, :].set(tan[..., 1, :])
     tn = jnp.linalg.norm(tan, axis=-1, keepdims=True)
-    ok = (tn[..., 0] > 1e-6).astype(gt.dtype) * step_mask        # (B,A,T)
+    ok = (tn[..., 0] > min_step_px).astype(gt.dtype) * step_mask  # (B,A,T)
     u = tan / jnp.maximum(tn, 1e-6)
     e = best - gt
     along = jnp.abs(jnp.sum(e * u, axis=-1))
