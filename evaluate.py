@@ -11,6 +11,7 @@ Examples:
 
 import argparse
 import json
+import os
 import sys
 
 import jax
@@ -57,6 +58,10 @@ def main(argv=None):
                         help="0 = full epoch")
     parser.add_argument("--random_params", type=int, default=0,
                         help="skip checkpoint loading (smoke test)")
+    parser.add_argument("--best", type=int, default=0,
+                        help="load <save_dir>/best (the best-by-held-out-"
+                             "minADE checkpoint train.py keeps) instead of "
+                             "the latest")
     parser.add_argument("--per_scene", type=int, default=0,
                         help="add a per-scene metric breakdown")
     parser.add_argument("--horizons", type=str, default="",
@@ -109,10 +114,12 @@ def main(argv=None):
     params = init_desire(jax.random.PRNGKey(cfg.seed), cfg)
     if not args.random_params:
         state = create_train_state(cfg, params, loader.num_batches)
-        mgr = ckpt_mod.CheckpointManager(cfg.save_dir)
+        ckpt_dir = os.path.join(cfg.save_dir, "best") if args.best \
+            else cfg.save_dir
+        mgr = ckpt_mod.CheckpointManager(ckpt_dir)
         got = mgr.restore(state)
         if got is None:
-            raise SystemExit(f"no checkpoint found in {cfg.save_dir}")
+            raise SystemExit(f"no checkpoint found in {ckpt_dir}")
         params = got[0].params
 
     if args.dump:
