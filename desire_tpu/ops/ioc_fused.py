@@ -74,6 +74,7 @@ unfused program where jax.checkpoint can rematerialize it).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -258,9 +259,16 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
     out_sc_ref[0, 0] = scores
 
 
-def _pick_chunk(k, a_pad, max_rows=320):
+def _pick_chunk(k, a_pad, max_rows=None):
     """Largest divisor of K whose chunk keeps rows = KC*A_pad <= max_rows
-    (VMEM budget: the (T, rows, 3d) gate scratch is the biggest buffer)."""
+    (VMEM budget: the (T, rows, 3d) gate scratch is the biggest buffer).
+
+    max_rows is a perf lever, not just a memory cap: grid cells run
+    SERIALLY on the v5e tensorcore, so bigger chunks mean fewer, larger
+    matmuls (better MXU shapes) at the cost of VMEM. Overridable via
+    DESIRE_IOC_MAX_ROWS for on-chip sweeps."""
+    if max_rows is None:
+        max_rows = int(os.environ.get("DESIRE_IOC_MAX_ROWS", 320))
     best = 1
     for kc in range(1, k + 1):
         if k % kc == 0 and kc * a_pad <= max_rows:
