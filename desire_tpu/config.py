@@ -153,6 +153,17 @@ class DesireConfig:
     #                              agents). Fast agents are ~13% of SDD
     #                              windows; alpha>0 stops walkers from
     #                              dominating the gradient. 0 = off
+    pace_range: float = 0.0      # per-lane along-track pace spread: a
+    #                              zero-init head on each lane's first decode
+    #                              hidden scales that lane's constant-velocity
+    #                              base by 1 + pace_range*tanh(.), letting
+    #                              hypotheses explicitly brake/accelerate.
+    #                              Motivated by the track decomposition
+    #                              (eval/metrics.py): fast-agent error is
+    #                              2-4x ALONG-track — the lane set
+    #                              under-covers speed profiles, not
+    #                              directions. 0 = off (exact pre-flag
+    #                              behavior: the head init is zero)
     cond_prior: bool = True      # conditional CVAE prior p(z|X): a zero-init
     #                              head on the past encoding emits
     #                              (mu_p, logvar_p); KLD pulls the posterior

@@ -98,6 +98,13 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
         # at the config values; observed speed itself stays stop-gradient
         p["vel_gain_log"] = jnp.asarray(jnp.log(cfg.vel_gain), dtype)
         p["vel_floor_log"] = jnp.asarray(jnp.log(cfg.vel_floor), dtype)
+    if cfg.pace_range > 0:
+        # per-lane pace head (config.py pace_range): zero-init -> pace
+        # factor exactly 1 at init (the pre-flag composition); reads the
+        # lane's FIRST decode hidden, which both the XLA and fused-sampler
+        # paths expose, so neither kernel changes
+        p["pace"] = {"w": jnp.zeros((d, 1), dtype),
+                     "b": jnp.zeros((1,), dtype)}
     if side == 32:
         # conv recognition network of the reference (model/model.py:471-492):
         # the fused 1024-vector reshaped to a 32x32 "image" and conv-encoded.
@@ -299,6 +306,21 @@ def compose_positions(raw, origin, vel_scale=0.25, cv_vel=None,
     return jnp.concatenate([mu, raw[..., 2:]], axis=-1)
 
 
+def _lane_cv(p, cfg, cv_vel, dec_h):
+    """Per-lane constant-velocity base (N, K, 2).
+
+    With the pace head (config.py pace_range), each lane scales its CV base
+    by 1 + pace_range*tanh(head(first decode hidden)) — explicit along-track
+    hypothesis spread (brake/accelerate lanes). Zero-init head -> factor 1.
+    """
+    cv_k = cv_vel[:, None, :]
+    if "pace" in p:
+        pace = 1.0 + cfg.pace_range * jnp.tanh(
+            L.dense(p["pace"], dec_h[:, :, 0].astype(jnp.float32)))
+        cv_k = cv_k * pace                                    # (N, K, 2)
+    return cv_k
+
+
 def observed_speed(rel_obs, obs_mask):
     """Masked mean per-step speed (magnitude) over the observed window.
     rel_obs (N, To, 2), obs_mask (N, To) -> (N, 1). Uses step-speed
@@ -399,7 +421,8 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
                 gain, floor = cfg.vel_gain, cfg.vel_floor
             vel_bound = (gain * s + floor)[:, None]
         raw5 = compose_positions(raw.astype(jnp.float32), origin[:, None, :],
-                                 cfg.vel_scale, cv_vel=cv_vel[:, None, :],
+                                 cfg.vel_scale,
+                                 cv_vel=_lane_cv(p, cfg, cv_vel, dec_h_f32),
                                  vel_bound=vel_bound)
         return {
             "raw5": raw5, "traj_mu": raw5[..., 0:2], "dec_h": dec_h,
@@ -494,7 +517,8 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     # position composition in f32 (see dtype note above); the decoder's raw
     # head outputs are the only compute_dtype input here
     raw5 = compose_positions(raw.astype(jnp.float32), origin[:, None, :],
-                             cfg.vel_scale, cv_vel=cv_vel[:, None, :],
+                             cfg.vel_scale,
+                             cv_vel=_lane_cv(p, cfg, cv_vel, dec_h),
                              vel_bound=vel_bound)
 
     return {

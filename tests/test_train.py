@@ -134,6 +134,47 @@ def test_input_norm_speed_balanced_loss():
     assert np.isfinite(last) and last < first
 
 
+def test_pace_head_zero_init_parity_and_trains():
+    """pace_range (config.py): at init the zero-init pace head must leave
+    the forward EXACTLY at the pace_range=0 composition; training with the
+    head must stay finite and learn."""
+    from desire_tpu.models.desire import desire_forward, desire_loss
+    cfg0 = micro_cfg("unused", use_ioc=False, use_scf=False, kld_warmup=1)
+    cfgp = cfg0.replace(pace_range=0.5)
+    params = init_desire(jax.random.PRNGKey(0), cfgp)
+    assert "pace" in params["sgm"]
+    p0 = {**params, "sgm": {k: v for k, v in params["sgm"].items()
+                            if k != "pace"}}
+    B, A = cfg0.batch_size, cfg0.max_num_obj
+    T = cfg0.obs_len + cfg0.pred_len
+    rng = np.random.default_rng(7)
+    xy = np.zeros((B, T, A, 2), np.float32)
+    for b in range(B):
+        for a in range(A):      # straight-line movers (learnable structure)
+            v = rng.standard_normal(2) * 3.0
+            xy[b, :, a] = rng.uniform(20, 80, 2) + v * np.arange(T)[:, None]
+    xy = jnp.asarray(xy)
+    mask = jnp.ones((B, T, A))
+    ids = jnp.tile(jnp.arange(1, A + 1)[None], (B, 1))
+    key = jax.random.PRNGKey(2)
+    outp = desire_forward(params, cfgp, xy, mask, ids, key=key, train=True)
+    out0 = desire_forward(p0, cfg0, xy, mask, ids, key=key, train=True)
+    np.testing.assert_allclose(np.asarray(outp["raw5"]),
+                               np.asarray(out0["raw5"]), atol=1e-6)
+
+    state = create_train_state(cfgp, params, steps_per_epoch=100)
+    step_fn = trainer.make_train_step(cfgp, 100)
+    first = last = None
+    for i in range(25):
+        state, m = step_fn(state, xy, mask, ids)
+        first = first if first is not None else float(m["loss"])
+        last = float(m["loss"])
+    assert np.isfinite(last) and last < first
+    # the head is live: training moved it off exactly-zero
+    w = np.asarray(state.params["sgm"]["pace"]["w"])
+    assert np.abs(w).max() > 0
+
+
 class _TransientFaultLoader:
     """Wraps a loader; serves NaN-poisoned batches for one whole epoch, once
     (a transient fault — e.g. a bad host read or a device glitch)."""
