@@ -35,6 +35,7 @@ _GEOMETRY_FIELDS = ("d_dim", "latent_size", "embedding_size", "rnn_size",
                     "input_norm",  # changes the embed width (4 vs 5 feats) —
                     #                an input_norm-trained ckpt evaluated
                     #                without it is a shape mismatch
+                    "pace_range",  # adds the pace param + scales lane CVs
                     "obs_len", "pred_len", "subsample", "max_num_obj",
                     "protocol")  # window geometry the model was trained on
 #                      vel_scale/speed_norm/... shape the forward pass —
