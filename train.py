@@ -110,6 +110,19 @@ def train(cfg: DesireConfig, resume: bool = False, eval_every: int = 1,
 
     params = init_desire(jax.random.PRNGKey(cfg.seed), cfg)
     state = create_train_state(cfg, params, loader.num_batches)
+    if cfg.save_dir and not resume:
+        # refuse to train fresh into a dir holding a DIFFERENT run's
+        # checkpoints: orbax silently keeps an existing step directory, so a
+        # colliding step number would leave a stale foreign checkpoint that
+        # later restores with a tree mismatch (or worse, silently wrong
+        # params). Same-config dirs are the auto-resume case and are fine.
+        old = ckpt_mod.load_config(cfg.save_dir)
+        if old is not None and old != cfg and \
+                ckpt_mod.CheckpointManager(cfg.save_dir).latest_step() is not None:
+            raise SystemExit(
+                f"save_dir {cfg.save_dir} holds checkpoints from a run with "
+                "a different config; pass --resume to continue that run, or "
+                "use a fresh --save_dir")
     mgr = ckpt_mod.CheckpointManager(cfg.save_dir) if cfg.save_dir else None
     # best-by-held-out selection: keep the checkpoint with the lowest
     # held-out minADE seen so far under <save_dir>/best (only meaningful
