@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 final queue: IOC row-cap sweep, then the 100-epoch flagship with
+# the triage-winning flags (pass via FLAGS env), then the full eval sweep.
+# Usage: FLAGS="--input_norm 1" bash scripts/r3_tpu_queue3.sh
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+D=/root/reference/data
+: "${FLAGS:=}"
+: "${SAVE:=save/r3_final}"
+
+# 1. IOC lane-chunk row-cap sweep (serial grid cells vs MXU shapes)
+for mr in 320 640 1280; do
+  DESIRE_IOC_MAX_ROWS=$mr python - <<'EOF' 2>>/tmp/q3_sweep_err.log
+import json, os, sys
+sys.path.insert(0, '/root/repo')
+import bench
+tps, dt, mfu, hbm = bench.bench(iters=8, warmup=2)
+print(json.dumps({"max_rows": os.environ["DESIRE_IOC_MAX_ROWS"],
+                  "fwd_ms": round(dt*1e3, 2), "traj_per_sec": round(tps)}),
+      flush=True)
+EOF
+done > /tmp/ioc_rows_sweep.jsonl
+
+# 2. flagship
+python train.py --data_dir "$D" --num_epochs 100 --batch_size 64 \
+    --save_dir "$SAVE" $FLAGS 2>&1 | tail -3
+
+# 3. full eval sweep (K=20 with everything, K=50, in-sample gap)
+python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
+    --num_samples 20 --per_scene 1 --horizons 1,2,3,4 --calibration 1 \
+    --speed_bins 2,8,20 > "$SAVE/eval_heldout_k20.json" 2>>/tmp/q3_err.log
+python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
+    --num_samples 50 --per_scene 1 --horizons 1,2,3,4 \
+    --speed_bins 2,8,20 > "$SAVE/eval_heldout_k50.json" 2>>/tmp/q3_err.log
+python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
+    --num_samples 20 --split train --max_eval_batches 60 \
+    --speed_bins 2,8,20 > "$SAVE/eval_insample_k20.json" 2>>/tmp/q3_err.log
+
+# 4. final bench line
+python bench.py > /tmp/bench_r3_final.json 2>>/tmp/q3_err.log
+echo QUEUE3_DONE
