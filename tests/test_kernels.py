@@ -180,6 +180,26 @@ def test_fused_ioc_matches_xla_ioc_forward():
                                np.asarray(ref_scores), rtol=2e-4, atol=2e-4)
 
 
+def test_fused_ioc_row_cap_env_override(monkeypatch):
+    """DESIRE_IOC_MAX_ROWS (the on-chip perf sweep knob) must only change
+    the lane-chunk grid, never the numbers: forcing multi-chunk via the env
+    var reproduces the single-chunk output."""
+    from desire_tpu.models.ioc import _DELTA_SCALE
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    msg = scf.social_messages(p_scf, dec_h)
+    one = ioc_refine_fused(
+        p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+        num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE, interpret=True)
+    monkeypatch.setenv("DESIRE_IOC_MAX_ROWS", "8")   # a_pad=8 -> kc=1, 3 chunks
+    chunked = ioc_refine_fused(
+        p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+        num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE, interpret=True)
+    for a, b in zip(chunked, one):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_fused_ioc_refinement_moves_and_masks():
     """Deltas respect the future mask (masked step -> no movement) and the
     loop actually refines (traj changes on unmasked steps)."""
