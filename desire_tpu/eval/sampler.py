@@ -48,7 +48,7 @@ def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
 
 
 def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
-                   calibration=False, pit_bins=20):
+                   calibration=False, pit_bins=20, rank_blend=0.0):
     """One jitted program: forward pass + EVERY per-batch eval metric.
 
     Through the remote-TPU tunnel each dispatch costs ~0.3 s; the previous
@@ -68,7 +68,8 @@ def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
         if scores is None:
             scores = jnp.zeros(traj.shape[:3], traj.dtype)
         scores = scores.astype(jnp.float32)
-        best = M.best_of_k_by_score(traj, scores)[:, :, None]
+        best = M.best_of_k_by_score(traj, scores,
+                                    blend=rank_blend)[:, :, None]
         gt = out["fut_xy"].astype(jnp.float32)
         sm = out["fut_mask"].astype(jnp.float32)
         # weight by the agents the metric actually averages over (live AND
@@ -117,7 +118,8 @@ def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
 def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
              key=None, max_batches=None, epoch: int = 0,
              per_scene: bool = False, horizons=None,
-             calibration: bool = False, speed_bins=None) -> dict:
+             calibration: bool = False, speed_bins=None,
+             rank_blend: float = 0.0) -> dict:
     """minADE/minFDE (pixels) over a loader's epoch stream.
 
     per_scene=True adds a per-scene breakdown keyed by scene name.
@@ -142,7 +144,8 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
                "cov": {0.5: 0.0, 0.9: 0.0}}
     step = make_eval_step(cfg, k_samples=k_samples,
                           horizon_steps=tuple(h * hz for h in horizons),
-                          calibration=calibration, pit_bins=pit_bins)
+                          calibration=calibration, pit_bins=pit_bins,
+                          rank_blend=rank_blend)
 
     dec_acc: dict = {}
 

@@ -59,6 +59,10 @@ def main(argv=None):
                         help="0 = full epoch")
     parser.add_argument("--random_params", type=int, default=0,
                         help="skip checkpoint loading (smoke test)")
+    parser.add_argument("--rank_blend", type=float, default=0.0,
+                        help="top-1 selection: z(IOC score) + blend * "
+                             "z(lane typicality); 0 = pure IOC score "
+                             "(metrics.best_of_k_by_score)")
     parser.add_argument("--best", type=int, default=0,
                         help="load <save_dir>/best (the best-by-held-out-"
                              "minADE checkpoint train.py keeps) instead of "
@@ -137,7 +141,10 @@ def main(argv=None):
                       per_scene=bool(args.per_scene),
                       horizons=horizons or None,
                       calibration=bool(args.calibration),
-                      speed_bins=speed_bins or None)
+                      speed_bins=speed_bins or None,
+                      rank_blend=args.rank_blend)
+    if args.rank_blend:
+        result["rank_blend"] = args.rank_blend
     print(json.dumps(result, sort_keys=True))
     return result
 

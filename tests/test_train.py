@@ -444,6 +444,20 @@ def test_best_of_k_by_score():
     np.testing.assert_array_equal(np.asarray(best), np.ones((1, 1, 3, 2)))
 
 
+def test_best_of_k_by_score_typicality_blend():
+    """rank_blend: a large typicality weight must switch the pick from a
+    high-scored OUTLIER lane to a central one; blend=0 keeps pure score."""
+    # K=3: lanes 1,2 cluster at ~1.0; lane 0 is a far outlier with top score
+    pred = jnp.stack([jnp.full((1, 1, 4, 2), 50.0),
+                      jnp.full((1, 1, 4, 2), 1.0),
+                      jnp.full((1, 1, 4, 2), 1.1)], axis=2)   # (1,1,3,4,2)
+    scores = jnp.array([[[5.0, 4.0, 3.0]]])
+    pure = M.best_of_k_by_score(pred, scores)
+    np.testing.assert_allclose(np.asarray(pure)[0, 0, 0, 0], 50.0)
+    blended = M.best_of_k_by_score(pred, scores, blend=5.0)
+    assert float(np.asarray(blended)[0, 0, 0, 0]) < 2.0
+
+
 def test_evaluate_harness_runs(env):
     cfg, loader = env["cfg"], env["loader"]
     params = init_desire(jax.random.PRNGKey(0), cfg)
