@@ -134,7 +134,7 @@ class DesireConfig:
     #                              (initialized at the config values): training
     #                              calibrates the residual envelope instead of
     #                              trusting the hand-picked 2.0/0.004
-    input_norm: bool = False     # scale-free trajectory encoding: divide the
+    input_norm: bool = True      # scale-free trajectory encoding: divide the
     #                              ENCODER-side relative coordinates by the
     #                              agent's observed speed (stop-gradient) and
     #                              append log-speed as an input feature, so a
@@ -146,13 +146,24 @@ class DesireConfig:
     #                              Geometry (origin, CV composition, NLL
     #                              targets, IOC/SCF) stays absolute; the
     #                              speed-adaptive bound already rescales the
-    #                              decoder output side
-    speed_loss_alpha: float = 0.0  # class-balance exponent: per-agent loss
+    #                              decoder output side. Default ON since the
+    #                              round-3 triage: at 40 epochs held-out it
+    #                              beat the control on EVERY metric (minADE
+    #                              18.57 -> 16.91, top-1 36.6 -> 30.0,
+    #                              [2,8) 28.0 -> 22.4; RESULTS triage table)
+    speed_loss_alpha: float = 0.5  # class-balance exponent: per-agent loss
     #                              weight (speed / batch-mean-speed)^alpha
     #                              (re-normalized to mean 1 over live
     #                              agents). Fast agents are ~13% of SDD
     #                              windows; alpha>0 stops walkers from
-    #                              dominating the gradient. 0 = off
+    #                              dominating the gradient. 0 = off.
+    #                              Default 0.5 from the round-3 triage:
+    #                              alpha=1 ALONE hurt every class, but 0.5
+    #                              on top of input_norm beat input_norm
+    #                              alone (held-out minADE 16.91 -> 16.18,
+    #                              bikes+ 41.4 -> 38.1; RESULTS triage
+    #                              table) — balancing works once the
+    #                              representation is scale-free
     pace_range: float = 0.0      # per-lane along-track pace spread: a
     #                              zero-init head on each lane's first decode
     #                              hidden scales that lane's constant-velocity

@@ -384,7 +384,11 @@ def test_fused_sgm_sampler_lane_chunked_matches_single_chunk():
 
     cfg = DesireConfig(obs_len=5, pred_len=6, num_samples=6, d_dim=16,
                       latent_size=8, embedding_size=8, channel_multiplier=10,
-                      compute_dtype="float32", rnn_size=128)
+                      compute_dtype="float32", rnn_size=128,
+                      input_norm=False)   # feats built without the extra
+    #                                       log-speed channel below; the
+    #                                       chunk-parity property is
+    #                                       input-independent
     p = sgm.init_sgm(jax.random.PRNGKey(0), cfg)
     n = 10                                  # 2 agent blocks at block_rows=8
     obs = jax.random.uniform(jax.random.PRNGKey(1), (n, cfg.obs_len, 2))

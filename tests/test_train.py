@@ -302,7 +302,8 @@ def test_cvae_best_of_k_covers_bimodal_future():
     params = init_desire(jax.random.PRNGKey(0), cfg)
     state = create_train_state(cfg, params, steps_per_epoch=1000)
     step_fn = trainer.make_train_step(cfg, 1000)
-    for i in range(90):
+    for i in range(140):   # 90 sufficed pre-input_norm; the scale-free
+        #                    encoding learns this fixture slightly slower
         xy, mask, ids = _bimodal_batch(jax.random.PRNGKey(100 + i))
         state, m = step_fn(state, xy, mask, ids)
     from desire_tpu.models.desire import desire_forward
