@@ -36,6 +36,10 @@ python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
 python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
     --num_samples 20 --split train --max_eval_batches 60 \
     --speed_bins 2,8,20 > "$SAVE/eval_insample_k20.json" 2>>/tmp/q3_err.log
+# diagnostic: typicality-blended top-1 (headline keeps pure IOC score)
+python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
+    --num_samples 20 --rank_blend 0.5 \
+    > "$SAVE/eval_heldout_k20_blend.json" 2>>/tmp/q3_err.log
 
 # 4. final bench line
 python bench.py > /tmp/bench_r3_final.json 2>>/tmp/q3_err.log
