@@ -366,12 +366,22 @@ def test_desire_loss_gradients_flow_everywhere():
         return desire.desire_loss(p, cfg, xy, mask, ids,
                                   key=jax.random.PRNGKey(1), step=100)[0]
     grads = jax.jit(jax.grad(f))(params)
-    flat, _ = jax.tree_util.tree_flatten(grads)
-    norms = [float(jnp.linalg.norm(g)) for g in flat]
-    assert all(np.isfinite(n) for n in norms)
-    # every module must receive gradient (no dead branches)
-    n_zero = sum(1 for n in norms if n == 0.0)
-    assert n_zero <= 2, f"{n_zero}/{len(norms)} zero-grad leaves"
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    norms = {jax.tree_util.keystr(p): float(jnp.linalg.norm(g))
+             for p, g in flat}
+    assert all(np.isfinite(n) for n in norms.values())
+    # Every module must receive gradient (no dead branches) — EXCEPT three
+    # leaves that are structurally zero at step 0:
+    #   ioc.gate.{w,b}: the delta head is zero-init (near-zero head init,
+    #     ioc.py init), so the gate's product-rule factor tanh(delta_head)
+    #     is identically 0 until the delta head takes its first update;
+    #   ioc.score.b: a bias shared across all K lanes cancels exactly in
+    #     the ranking softmax-CE (any nonzero value seen historically was
+    #     bf16 roundoff, which made a count-based threshold flaky).
+    allowed_zero = {"['ioc']['gate']['w']", "['ioc']['gate']['b']",
+                    "['ioc']['score']['b']"}
+    zero = {k for k, n in norms.items() if n == 0.0}
+    assert zero <= allowed_zero, f"unexpected zero-grad leaves: {sorted(zero - allowed_zero)}"
 
 
 def test_dead_agents_do_not_affect_loss():
