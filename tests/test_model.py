@@ -143,6 +143,26 @@ def test_sgm_inference_mode_needs_no_future():
     assert out["traj_mu"].shape == (n, cfg.num_samples, cfg.pred_len, 2)
 
 
+def test_prior_lane_frac_lanes_ignore_the_future():
+    """prior_lane_frac (config.py): the first round(K*frac) train-time lanes
+    draw z from the prior, which conditions on the PAST only — perturbing
+    the future trajectory must leave those lanes bit-identical while the
+    remaining (posterior/recognition) lanes move."""
+    cfg = tiny_cfg(prior_lane_frac=0.5)
+    p = sgm.init_sgm(jax.random.PRNGKey(0), cfg)
+    n, K = 4, cfg.num_samples
+    kp = int(round(K * cfg.prior_lane_frac))
+    assert 0 < kp < K, "tiny cfg must exercise a mixed prior/posterior split"
+    obs = jax.random.normal(jax.random.PRNGKey(1), (n, cfg.obs_len, 2)) * 0.1 + 0.5
+    fut = jax.random.normal(jax.random.PRNGKey(2), (n, cfg.pred_len, 2)) * 0.1 + 0.5
+    m_o, m_f = jnp.ones((n, cfg.obs_len)), jnp.ones((n, cfg.pred_len))
+    kw = dict(key=jax.random.PRNGKey(3), train=True)
+    t1 = np.asarray(sgm.sgm_forward(p, cfg, obs, m_o, fut, m_f, **kw)["traj_mu"])
+    t2 = np.asarray(sgm.sgm_forward(p, cfg, obs, m_o, fut + 0.1, m_f, **kw)["traj_mu"])
+    np.testing.assert_array_equal(t1[:, :kp], t2[:, :kp])
+    assert not np.allclose(t1[:, kp:], t2[:, kp:])
+
+
 def test_vae_mlp_geometry_for_nonstandard_rnn_size():
     """rnn_size != 512 (any 2*rnn_size perfect square) must work end to end —
     the conv-VAE arithmetic only closes at vae side 32, so other sizes take
