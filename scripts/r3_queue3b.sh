@@ -1,0 +1,46 @@
+#!/bin/bash
+# Reordered final queue: flagship FIRST (critical path), then the eval
+# sweep, the bench line, and the IOC row-cap sweep last (nice-to-have).
+# Replaces r3_tpu_queue3.sh step order after a tunnel hang blocked the
+# row-cap sweep ahead of the flagship.
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+D=/root/reference/data
+: "${FLAGS:=}"
+: "${SAVE:=save/r3_final}"
+
+# 1. flagship (new defaults: input_norm on, speed_loss_alpha 0.5)
+python train.py --data_dir "$D" --num_epochs 100 --batch_size 64 \
+    --save_dir "$SAVE" $FLAGS 2>&1 | tail -3
+
+# 2. full eval sweep (K=20 with everything, K=50, in-sample gap, blend)
+python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
+    --num_samples 20 --per_scene 1 --horizons 1,2,3,4 --calibration 1 \
+    --speed_bins 2,8,20 > "$SAVE/eval_heldout_k20.json" 2>>/tmp/q3_err.log
+python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
+    --num_samples 50 --per_scene 1 --horizons 1,2,3,4 \
+    --speed_bins 2,8,20 > "$SAVE/eval_heldout_k50.json" 2>>/tmp/q3_err.log
+python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
+    --num_samples 20 --split train --max_eval_batches 60 \
+    --speed_bins 2,8,20 > "$SAVE/eval_insample_k20.json" 2>>/tmp/q3_err.log
+python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
+    --num_samples 20 --rank_blend 0.5 \
+    > "$SAVE/eval_heldout_k20_blend.json" 2>>/tmp/q3_err.log
+
+# 3. final bench line
+python bench.py > /tmp/bench_r3_final.json 2>>/tmp/q3_err.log
+
+# 4. IOC lane-chunk row-cap sweep (optional perf datapoint)
+for mr in 640 1280; do
+  DESIRE_IOC_MAX_ROWS=$mr python - <<'EOF' 2>>/tmp/q3_sweep_err.log
+import json, os, sys
+sys.path.insert(0, '/root/repo')
+import bench
+tps, dt, mfu, hbm = bench.bench(iters=8, warmup=2)
+print(json.dumps({"max_rows": os.environ["DESIRE_IOC_MAX_ROWS"],
+                  "fwd_ms": round(dt*1e3, 2), "traj_per_sec": round(tps)}),
+      flush=True)
+EOF
+done > /tmp/ioc_rows_sweep.jsonl
+echo QUEUE3B_DONE
