@@ -301,6 +301,10 @@ def dump_trajectories(params, cfg: DesireConfig, loader, path, *,
                "best": out["best"], "live": out["live"],
                "video": batch.video, "scale": batch.scale}
         for k, v in rec.items():
+            # cast float-like arrays (incl. bf16, which numpy would save as
+            # a raw 2-byte void dtype) to f32 before np conversion
+            if getattr(v, "dtype", None) is not None and v.dtype.kind not in "iub":
+                v = jnp.asarray(v).astype(jnp.float32)
             acc.setdefault(k, []).append(np.asarray(v))
     if not acc:
         return 0

@@ -561,3 +561,22 @@ def test_dump_trajectories(env, tmp_path):
     i = int(np.argmax(d["live"][0]))
     diffs = np.abs(d["traj"][0, i] - d["best"][0, i][None]).max(axis=(1, 2))
     assert diffs.min() < 1e-5
+    # every array must round-trip through npz as a REAL numpy dtype —
+    # bf16 model outputs (e.g. scores) silently became 2-byte void ('V2')
+    # before the writer's f32 cast, poisoning every downstream reader
+    for k in d.files:
+        assert d[k].dtype.kind in "iuf", (k, d[k].dtype)
+
+
+def test_dump_trajectories_bf16(env, tmp_path):
+    """The dump writer's f32 cast exercised with actual bf16 outputs."""
+    from desire_tpu.eval.sampler import dump_trajectories
+    cfg, loader = env["cfg"], env["loader"]
+    cfg = cfg.replace(compute_dtype="bfloat16")
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "dump16.npz")
+    assert dump_trajectories(params, cfg, loader, path, num_batches=1) > 0
+    d = np.load(path)
+    for k in d.files:
+        assert d[k].dtype.kind in "iuf", (k, d[k].dtype)
+    assert np.isfinite(d["scores"]).all()
