@@ -580,3 +580,32 @@ def test_dump_trajectories_bf16(env, tmp_path):
     for k in d.files:
         assert d[k].dtype.kind in "iuf", (k, d[k].dtype)
     assert np.isfinite(d["scores"]).all()
+
+
+def test_visualize_renders_pngs(tmp_path):
+    """visualize.py end-to-end on a synthetic dump (no model needed)."""
+    import subprocess
+    import sys
+    rng = np.random.default_rng(0)
+    n, a, to, tf_len, k = 3, 4, 8, 12, 5
+    dump = str(tmp_path / "d.npz")
+    np.savez(dump,
+             obs_xy=rng.uniform(0.2, 0.8, (n, a, to, 2)).astype(np.float32),
+             obs_mask=np.ones((n, a, to), np.float32),
+             fut_xy=rng.uniform(0.2, 0.8, (n, a, tf_len, 2)).astype(np.float32),
+             fut_mask=np.ones((n, a, tf_len), np.float32),
+             traj=rng.uniform(0.2, 0.8, (n, a, k, tf_len, 2)).astype(np.float32),
+             scores=rng.normal(size=(n, a, k)).astype(np.float32),
+             best=rng.uniform(0.2, 0.8, (n, a, tf_len, 2)).astype(np.float32),
+             live=np.ones((n, a), np.float32),
+             video=np.zeros((n,), np.int32),
+             scale=np.full((n,), 100.0, np.float32))
+    out = str(tmp_path / "figs")
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "visualize.py"),
+         dump, "--out", out, "--windows", "2", "--dpi", "60"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(pngs) == 2
