@@ -66,9 +66,10 @@ scf.social_pool, same final-re-score-on-frozen-traj). One deliberate
 deviation, a precision upgrade: squared distances and the softmax run
 in f32 even under bf16 compute.
 
-Inference-only: the XLA path in models/ioc.py remains the training path
-(this kernel defines no VJP; refinement gradients flow through the
-unfused program where jax.checkpoint can rematerialize it).
+Training: the same kernel (collect_iters=True) is the forward of
+make_trainable_fused_ioc; the custom VJP's backward is either an XLA
+recompute or the fused Pallas backward in ops/ioc_bwd.py (default —
+gradient-parity tested against jax.grad of the XLA path).
 """
 
 from __future__ import annotations
@@ -93,8 +94,15 @@ def _mm(a, b, cd, precision):
                    preferred_element_type=jnp.float32, precision=precision)
 
 
+def _tent_mm_default():
+    """Factorized scene-tent build switch (see scene_step in _kernel).
+
+    Env-overridable for on-chip A/B sweeps: DESIRE_TENT_MM=0/1."""
+    return os.environ.get("DESIRE_TENT_MM", "0") == "1"
+
+
 def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
-            collect_iters=False):
+            collect_iters=False, tent_mm=False):
     (tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
      wiv_ref, wis_ref, wio_ref, wid_ref, wh_ref, bi_ref, bh_ref,
      heads_w_ref, heads_b_ref, ltau_ref) = refs[:17]
@@ -120,17 +128,48 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
 
     g2 = grid_g * grid_g
     p_flat = rows * t_len
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, g2), 1)
-    col_y = (col // grid_g).astype(jnp.float32)
-    col_x = (col - (col // grid_g) * grid_g).astype(jnp.float32)
+    if tent_mm:
+        # Factorized tent build (perf): the bilinear weight is separable,
+        # hot[r, gy*G+gx] = tent(xs[r]-gx) * tent(ys[r]-gy), so build the
+        # two 1-D tents NARROW at (rows, G) — G lanes instead of G^2 — and
+        # expand each to (rows, G^2) with a constant one-hot matmul on the
+        # MXU (exact copies: one nonzero per column). The wide VPU work
+        # per call drops from ~9 elementwise passes over (rows, G^2) f32
+        # to ONE bf16 multiply; those passes are ~60% of a refine pass's
+        # element-ops (RESULTS.md round-3 roofline). Numerics: the
+        # original path casts the f32 tent product to the compute dtype
+        # inside _mm anyway, so the only delta under bf16 is
+        # round(tx)*round(ty) vs round(tx*ty) — second order.
+        ncol = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, grid_g), 1).astype(jnp.float32)
+        eg = jax.lax.broadcasted_iota(jnp.int32, (grid_g, g2), 1)
+        ei = jax.lax.broadcasted_iota(jnp.int32, (grid_g, g2), 0)
+        exp_x = ((eg - (eg // grid_g) * grid_g) == ei).astype(cd)  # (G,G^2)
+        exp_y = ((eg // grid_g) == ei).astype(cd)
 
-    def scene_step(xT, yT):
-        """(rows, 1) position columns -> (rows, C) scene features."""
-        xs = jnp.clip(xT, 0.0, 1.0) * (grid_g - 1)
-        ys = jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)
-        hot = (jnp.maximum(0.0, 1.0 - jnp.abs(xs - col_x))
-               * jnp.maximum(0.0, 1.0 - jnp.abs(ys - col_y)))  # (rows, G^2)
-        return _mm(hot, fmap, cd, precision)              # (rows, C)
+        def scene_step(xT, yT):
+            """(rows, 1) position columns -> (rows, C) scene features."""
+            xs = jnp.clip(xT, 0.0, 1.0) * (grid_g - 1)
+            ys = jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - ncol))   # (rows, G)
+            ty = jnp.maximum(0.0, 1.0 - jnp.abs(ys - ncol))
+            hot = (jnp.dot(tx.astype(cd), exp_x,
+                           preferred_element_type=cd, precision=precision)
+                   * jnp.dot(ty.astype(cd), exp_y,
+                             preferred_element_type=cd, precision=precision))
+            return _mm(hot, fmap, cd, precision)          # (rows, C)
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, g2), 1)
+        col_y = (col // grid_g).astype(jnp.float32)
+        col_x = (col - (col // grid_g) * grid_g).astype(jnp.float32)
+
+        def scene_step(xT, yT):
+            """(rows, 1) position columns -> (rows, C) scene features."""
+            xs = jnp.clip(xT, 0.0, 1.0) * (grid_g - 1)
+            ys = jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)
+            hot = (jnp.maximum(0.0, 1.0 - jnp.abs(xs - col_x))
+                   * jnp.maximum(0.0, 1.0 - jnp.abs(ys - col_y)))
+            return _mm(hot, fmap, cd, precision)          # (rows, C)
 
     # block-diagonal attention mask over the flat (lane, agent) rows:
     # attend only within the same lane block, never to self or dead agents
@@ -343,7 +382,8 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     kernel = functools.partial(
         _kernel, num_refine=int(num_refine),
         delta_scale=float(delta_scale), grid_g=int(g), cd=cd,
-        a_dim=a, kc=kc, collect_iters=bool(collect_iters))
+        a_dim=a, kc=kc, collect_iters=bool(collect_iters),
+        tent_mm=_tent_mm_default())
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)

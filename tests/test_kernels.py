@@ -180,6 +180,27 @@ def test_fused_ioc_matches_xla_ioc_forward():
                                np.asarray(ref_scores), rtol=2e-4, atol=2e-4)
 
 
+def test_fused_ioc_tent_mm_matches_xla(monkeypatch):
+    """DESIRE_TENT_MM=1 (factorized scene-tent build: narrow 1-D tents +
+    one-hot expansion matmuls) must reproduce ioc_forward exactly at f32 —
+    the expansion matmuls copy single nonzero terms, so the factorization
+    is numbers-identical up to matmul accumulation order."""
+    from desire_tpu.models.ioc import _DELTA_SCALE, ioc_forward
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    ref_traj, ref_scores, _ = ioc_forward(
+        p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+    msg = scf.social_messages(p_scf, dec_h)
+    monkeypatch.setenv("DESIRE_TENT_MM", "1")
+    out_traj, out_scores = ioc_refine_fused(
+        p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+        num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_traj), np.asarray(ref_traj),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_scores),
+                               np.asarray(ref_scores), rtol=2e-4, atol=2e-4)
+
+
 def test_fused_ioc_row_cap_env_override(monkeypatch):
     """DESIRE_IOC_MAX_ROWS (the on-chip perf sweep knob) must only change
     the lane-chunk grid, never the numbers: forcing multi-chunk via the env
