@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from desire_tpu.ops.ioc_fused import _pick_chunk, _precision_for
+from desire_tpu.ops.ioc_fused import (_pick_chunk, _precision_for,
+                                      _tent_mm_default)
 
 
 def _mmf(a, b, cd, precision):
@@ -78,7 +79,8 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             dbi_ref, dbh_ref, dhw_ref, dhb_ref, dltau_ref,
             gir_s, giz_s, gin_s, hs_s, w_s, scene_s, soc_s, x_s, y_s,
             gx_s, gy_s, dh_s, h_s, dhseed_s, gdec_s,
-            *, num_refine, delta_scale, grid_g, cd, a_dim, kc):
+            *, num_refine, delta_scale, grid_g, cd, a_dim, kc,
+            tent_mm=False):
     t_len = fmask_ref.shape[1]
     rows = kc * a_dim
     d = whr_ref.shape[0]
@@ -92,9 +94,23 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
     tau = jnp.exp(ltau) + 1e-4
 
     g2 = grid_g * grid_g
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, g2), 1)
-    col_y = (col // grid_g).astype(f32)
-    col_x = (col - (col // grid_g) * grid_g).astype(f32)
+    if tent_mm:
+        # Factorized tent build (see ops/ioc_fused scene_step): narrow
+        # (rows, G) 1-D tents + constant one-hot expansion matmuls replace
+        # the wide (rows, G^2) elementwise builds in BOTH the recompute
+        # and the tent-adjoint below. Exact copies at f32; under bf16 the
+        # quantization point moves from after to before the x*y product
+        # (second order) — same trade as the forward kernel.
+        ncol = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, grid_g), 1).astype(f32)
+        eg = jax.lax.broadcasted_iota(jnp.int32, (grid_g, g2), 1)
+        ei = jax.lax.broadcasted_iota(jnp.int32, (grid_g, g2), 0)
+        exp_x = ((eg - (eg // grid_g) * grid_g) == ei).astype(cd)
+        exp_y = ((eg // grid_g) == ei).astype(cd)
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, g2), 1)
+        col_y = (col // grid_g).astype(f32)
+        col_x = (col - (col // grid_g) * grid_g).astype(f32)
 
     r_id = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
     c_id = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
@@ -146,12 +162,50 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
 
     jax.lax.fori_loop(0, t_len, dec_proj_step, 0)
 
-    def scene_hot(xT, yT):
-        xs = jnp.clip(xT, 0.0, 1.0) * (grid_g - 1)
-        ys = jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)
-        hot = (jnp.maximum(0.0, 1.0 - jnp.abs(xs - col_x))
-               * jnp.maximum(0.0, 1.0 - jnp.abs(ys - col_y)))
-        return hot, xs, ys
+    if tent_mm:
+        def _tents(xT, yT):
+            """Narrow (rows, G) tents + slope masks for x and y."""
+            xs = jnp.clip(xT, 0.0, 1.0) * (grid_g - 1)
+            ys = jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)
+            dx, dy = xs - ncol, ys - ncol
+            ax, ay = jnp.abs(dx), jnp.abs(dy)
+            tx = jnp.maximum(0.0, 1.0 - ax)
+            ty = jnp.maximum(0.0, 1.0 - ay)
+            dtx = jnp.where(ax < 1.0, -jnp.sign(dx), 0.0)
+            dty = jnp.where(ay < 1.0, -jnp.sign(dy), 0.0)
+            return tx, ty, dtx, dty
+
+        def _expand(narrow, mat):
+            return jnp.dot(narrow.astype(cd), mat,
+                           preferred_element_type=cd, precision=precision)
+
+        def scene_hot(xT, yT):
+            tx, ty, _, _ = _tents(xT, yT)
+            return _expand(tx, exp_x) * _expand(ty, exp_y)
+
+        def tent_weights(xT, yT):
+            """(hot, d hot/d xs, d hot/d ys) as three (rows, G^2) planes."""
+            tx, ty, dtx, dty = _tents(xT, yT)
+            txe, tye = _expand(tx, exp_x), _expand(ty, exp_y)
+            return (txe * tye, _expand(dtx, exp_x) * tye,
+                    txe * _expand(dty, exp_y))
+    else:
+        def scene_hot(xT, yT):
+            xs = jnp.clip(xT, 0.0, 1.0) * (grid_g - 1)
+            ys = jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)
+            return (jnp.maximum(0.0, 1.0 - jnp.abs(xs - col_x))
+                    * jnp.maximum(0.0, 1.0 - jnp.abs(ys - col_y)))
+
+        def tent_weights(xT, yT):
+            xs = jnp.clip(xT, 0.0, 1.0) * (grid_g - 1)
+            ys = jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)
+            ax = jnp.abs(xs - col_x)
+            ay = jnp.abs(ys - col_y)
+            tent_x = jnp.maximum(0.0, 1.0 - ax)
+            tent_y = jnp.maximum(0.0, 1.0 - ay)
+            dtent_x = jnp.where(ax < 1.0, -jnp.sign(xs - col_x), 0.0)
+            dtent_y = jnp.where(ay < 1.0, -jnp.sign(ys - col_y), 0.0)
+            return (tent_x * tent_y, dtent_x * tent_y, tent_x * dtent_y)
 
     def feat_step(t, _):
         x = x_s[pl.ds(t, 1)]                              # (1, rows)
@@ -167,8 +221,7 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
         mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
         soc = _mmf(w, mt, cd, precision)
         soc_s[pl.ds(t, 1)] = soc[None]
-        hot, _, _ = scene_hot(xT, yT)
-        scene = _mmf(hot, fmap, cd, precision)
+        scene = _mmf(scene_hot(xT, yT), fmap, cd, precision)
         scene_s[pl.ds(t, 1)] = scene[None]
         tp = jnp.maximum(t - 1, 0)
         vx = jnp.swapaxes(x - x_s[pl.ds(tp, 1)], 0, 1)    # (rows, 1)
@@ -357,21 +410,15 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             dws_ref[0, 0, 2 * c_dim:3 * c_dim] = (
                 dws_ref[0, 0, 2 * c_dim:3 * c_dim]
                 + _contract_first(scene_t, dnp, cd, precision))
-            hot, xs, ys = scene_hot(xT, yT)
+            hot, wx, wy = tent_weights(xT, yT)
             dfmap_ref[0, 0] = dfmap_ref[0, 0] + _contract_first(
                 hot, d_scene, cd, precision)
             d_hot = _contract_last(d_scene, fmap, cd, precision)  # (rows,G2)
-            ax = jnp.abs(xs - col_x)
-            ay = jnp.abs(ys - col_y)
-            tent_x = jnp.maximum(0.0, 1.0 - ax)
-            tent_y = jnp.maximum(0.0, 1.0 - ay)
-            dtent_x = jnp.where(ax < 1.0, -jnp.sign(xs - col_x), 0.0)
-            dtent_y = jnp.where(ay < 1.0, -jnp.sign(ys - col_y), 0.0)
             in01_x = ((xT > 0.0) & (xT < 1.0)).astype(f32) * (grid_g - 1)
             in01_y = ((yT > 0.0) & (yT < 1.0)).astype(f32) * (grid_g - 1)
-            gpx = jnp.sum(d_hot * dtent_x * tent_y, axis=-1,
+            gpx = jnp.sum(d_hot * wx, axis=-1,
                           keepdims=True) * in01_x          # (rows, 1)
-            gpy = jnp.sum(d_hot * tent_x * dtent_y, axis=-1,
+            gpy = jnp.sum(d_hot * wy, axis=-1,
                           keepdims=True) * in01_y
 
             # social block
@@ -555,7 +602,8 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
 
     kernel = functools.partial(
         _kernel, num_refine=nr, delta_scale=float(delta_scale),
-        grid_g=int(g), cd=cd, a_dim=a, kc=kc)
+        grid_g=int(g), cd=cd, a_dim=a, kc=kc,
+        tent_mm=_tent_mm_default())
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)

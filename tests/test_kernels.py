@@ -432,11 +432,14 @@ def test_fused_sgm_sampler_lane_chunked_matches_single_chunk():
                                    rtol=1e-6, atol=1e-7)
 
 
-def test_pallas_backward_ioc_gradient_parity():
+@pytest.mark.parametrize("tent_mm", ["0", "1"])
+def test_pallas_backward_ioc_gradient_parity(tent_mm, monkeypatch):
     """The full Pallas backward (ops/ioc_bwd.py) must reproduce jax.grad of
-    the XLA ioc_forward for every input and parameter."""
+    the XLA ioc_forward for every input and parameter — with both the wide
+    and the factorized (DESIRE_TENT_MM=1) scene-tent builds."""
     from desire_tpu.models.ioc import ioc_forward
     from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
+    monkeypatch.setenv("DESIRE_TENT_MM", tent_mm)
     cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
     fused = make_trainable_fused_ioc(cfg, interpret=True, backward="pallas")
     wts = jax.random.normal(jax.random.PRNGKey(9), live.shape + (3,))
