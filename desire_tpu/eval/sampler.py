@@ -48,7 +48,8 @@ def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
 
 
 def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
-                   calibration=False, pit_bins=20, rank_blend=0.0):
+                   calibration=False, pit_bins=20, rank_blend=0.0,
+                   z_temp_fast=1.0, z_temp_px=20.0):
     """One jitted program: forward pass + EVERY per-batch eval metric.
 
     Through the remote-TPU tunnel each dispatch costs ~0.3 s; the previous
@@ -61,8 +62,22 @@ def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
     def fn(params, xy, mask, ids, key, scale):
         k1, _ = jax.random.split(key)   # same split as make_sampler -> the
         #                                 fused path reproduces its draws
+        zt = None
+        if z_temp_fast != 1.0:
+            # speed-conditional latent temperature (eval-time fast-agent
+            # spread): agents observed faster than z_temp_px px/step sample
+            # with sigma * z_temp_fast; everyone else is untouched
+            oxy, _, om_, _ = desire.split_batch(
+                cfg, xy.astype(jnp.float32), mask.astype(jnp.float32))
+            om_ = om_.astype(jnp.float32)
+            b_ = om_[..., 1:] * om_[..., :-1]
+            dd = jnp.diff(oxy, axis=2)
+            spd = (jnp.sum(jnp.linalg.norm(dd, axis=-1) * b_, -1)
+                   / jnp.maximum(jnp.sum(b_, -1), 1e-6)) * scale[:, None]
+            zt = jnp.where(spd >= z_temp_px, z_temp_fast, 1.0)
         out = desire.desire_forward(params, cfg, xy, mask, ids, key=k1,
-                                    k_samples=k_samples, train=False)
+                                    k_samples=k_samples, train=False,
+                                    z_temp=zt)
         traj = out["refined_traj"].astype(jnp.float32)
         scores = out["scores"]
         if scores is None:
@@ -119,7 +134,8 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
              key=None, max_batches=None, epoch: int = 0,
              per_scene: bool = False, horizons=None,
              calibration: bool = False, speed_bins=None,
-             rank_blend: float = 0.0) -> dict:
+             rank_blend: float = 0.0, z_temp_fast: float = 1.0,
+             z_temp_px: float = 20.0) -> dict:
     """minADE/minFDE (pixels) over a loader's epoch stream.
 
     per_scene=True adds a per-scene breakdown keyed by scene name.
@@ -145,7 +161,8 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
     step = make_eval_step(cfg, k_samples=k_samples,
                           horizon_steps=tuple(h * hz for h in horizons),
                           calibration=calibration, pit_bins=pit_bins,
-                          rank_blend=rank_blend)
+                          rank_blend=rank_blend, z_temp_fast=z_temp_fast,
+                          z_temp_px=z_temp_px)
 
     dec_acc: dict = {}
 

@@ -50,8 +50,11 @@ def split_batch(cfg: DesireConfig, xy, mask):
 
 
 def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
-                   k_samples=None, train=True):
-    """End-to-end forward. Returns a dict of all stage outputs."""
+                   k_samples=None, train=True, z_temp=None):
+    """End-to-end forward. Returns a dict of all stage outputs.
+
+    z_temp: optional (B, A) per-agent latent sampling temperature
+    (inference-only eval knob; see sgm_forward)."""
     K = k_samples or cfg.num_samples
     # geometry (positions, masks, targets) stays f32 — bf16 quantizes [0,1]
     # coords by ~1-4 px at SDD scale, biasing both training targets and the
@@ -71,7 +74,9 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
         obs_mask.reshape(n, -1),
         fut_xy.reshape(n, *fut_xy.shape[2:]) if train else None,
         fut_mask.reshape(n, -1) if train else None,
-        key=key, k_samples=K, train=train)
+        key=key, k_samples=K, train=train,
+        z_temp=(None if z_temp is None
+                else z_temp.reshape(n, 1, 1).astype(jnp.float32)))
 
     tf_len = fut_xy.shape[2]
     traj = out["traj_mu"].reshape(b, a, K, tf_len, 2)

@@ -341,11 +341,18 @@ def mean_observed_velocity(rel_obs, obs_mask):
 
 
 def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
-                fut_mask=None, *, key, k_samples=None, train=True):
+                fut_mask=None, *, key, k_samples=None, train=True,
+                z_temp=None):
     """Full SGM pass over flattened agent rows.
 
     obs_xy: (N, To, 2) absolute normalized; fut_xy: (N, Tf, 2) (train only).
     Returns dict with absolute-position Gaussians for K hypotheses.
+
+    z_temp: optional (N, 1, 1) per-agent sampling temperature, applied to
+    the latent noise at INFERENCE only (z = mu + sigma * temp * eps) — an
+    eval-time spread knob (fast agents' error is along-track speed-profile
+    under-coverage; extra latent spread buys hypothesis diversity without
+    retraining). Identity at temp=1; ignored in the train branch.
     """
     K = k_samples or cfg.num_samples
     n = obs_xy.shape[0]
@@ -398,6 +405,8 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
                                       obs_mask.astype(cd),
                                       extra=enc_extra)))
         eps = jax.random.normal(key, (n, K, lat), cd)
+        if z_temp is not None:
+            eps = eps * z_temp.astype(eps.dtype)
         dec_h_f32, hx = sgm_sample_decode_fused(
             p, feats, obs_mask, rho_seed.astype(jnp.float32), eps,
             pred_len, compute_dtype=cd)
@@ -473,6 +482,8 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     else:
         mu = logvar = None
         eps = jax.random.normal(key, (n, K, lat), hx.dtype)
+        if z_temp is not None:
+            eps = eps * z_temp.astype(eps.dtype)
         if mu_p is not None:
             z = mu_p[:, None] + jnp.exp(0.5 * logvar_p)[:, None] * eps
         else:

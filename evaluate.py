@@ -63,6 +63,13 @@ def main(argv=None):
                         help="top-1 selection: z(IOC score) + blend * "
                              "z(lane typicality); 0 = pure IOC score "
                              "(metrics.best_of_k_by_score)")
+    parser.add_argument("--z_temp_fast", type=float, default=1.0,
+                        help="latent sampling temperature for agents "
+                             "observed faster than --z_temp_px (eval-time "
+                             "fast-agent hypothesis spread; 1 = off)")
+    parser.add_argument("--z_temp_px", type=float, default=20.0,
+                        help="observed-speed threshold (px/step) above "
+                             "which --z_temp_fast applies")
     parser.add_argument("--best", type=int, default=0,
                         help="load <save_dir>/best (the best-by-held-out-"
                              "minADE checkpoint train.py keeps) instead of "
@@ -142,9 +149,13 @@ def main(argv=None):
                       horizons=horizons or None,
                       calibration=bool(args.calibration),
                       speed_bins=speed_bins or None,
-                      rank_blend=args.rank_blend)
+                      rank_blend=args.rank_blend,
+                      z_temp_fast=args.z_temp_fast,
+                      z_temp_px=args.z_temp_px)
     if args.rank_blend:
         result["rank_blend"] = args.rank_blend
+    if args.z_temp_fast != 1.0:
+        result["z_temp"] = {"fast": args.z_temp_fast, "px": args.z_temp_px}
     print(json.dumps(result, sort_keys=True))
     return result
 

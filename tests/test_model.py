@@ -519,3 +519,38 @@ def test_learned_bound_receives_gradient():
     )(params)
     assert np.isfinite(float(g["sgm"]["vel_gain_log"]))
     assert abs(float(g["sgm"]["vel_gain_log"])) > 0
+
+
+def test_z_temp_per_agent_spread_and_isolation():
+    """The eval-time z-temperature knob: temp=1 everywhere is a no-op
+    (bit-identical to z_temp=None); raising ONE agent's temp increases that
+    agent's cross-lane spread while every other agent's output is untouched
+    (the noise scaling is strictly per-row)."""
+    cfg = tiny_cfg(num_samples=6)
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg)
+    xy, mask, ids = _toy_batch(cfg)
+    key = jax.random.PRNGKey(7)
+
+    base = desire.desire_forward(params, cfg, xy, mask, ids, key=key,
+                                 train=False)
+    ones = desire.desire_forward(params, cfg, xy, mask, ids, key=key,
+                                 train=False,
+                                 z_temp=jnp.ones(ids.shape))
+    np.testing.assert_array_equal(np.asarray(base["sgm_traj"]),
+                                  np.asarray(ones["sgm_traj"]))
+
+    temp = jnp.ones(ids.shape).at[:, 1].set(4.0)
+    hot = desire.desire_forward(params, cfg, xy, mask, ids, key=key,
+                                train=False, z_temp=temp)
+
+    def lane_spread(out, agent):
+        tr = np.asarray(out["sgm_traj"])[:, agent]        # (B, K, T, 2)
+        return float(np.mean(np.var(tr, axis=1)))
+
+    # untouched agents: exactly equal
+    for agent in (0, 2):
+        np.testing.assert_array_equal(
+            np.asarray(hot["sgm_traj"])[:, agent],
+            np.asarray(base["sgm_traj"])[:, agent])
+    # heated agent: strictly more cross-lane variance
+    assert lane_spread(hot, 1) > 1.5 * lane_spread(base, 1)
