@@ -1,0 +1,27 @@
+#!/bin/bash
+# Post-flagship measurement queue (launched after r3_queue3b.sh prints
+# QUEUE3B_DONE): A/B the factorized scene-tent build (DESIRE_TENT_MM) on
+# both the inference bench and the train step, then sweep the eval-time
+# fast-agent z-temperature on the r3_final checkpoint.
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+D=/root/reference/data
+S=save/r3_final
+
+# 1. tent-factorization A/B — inference bench + train ladder
+DESIRE_TENT_MM=1 python bench.py > /tmp/bench_tent_mm.json 2>>/tmp/q4_err.log
+DESIRE_TENT_MM=1 python scripts/train_breakdown.py --iters 8 \
+    > /tmp/train_ladder_tent_mm.jsonl 2>>/tmp/q4_err.log
+DESIRE_TENT_MM=1 python bench.py --breakdown \
+    > /tmp/bench_tent_mm_breakdown.json 2>>/tmp/q4_err.log
+
+# 2. z-temperature sweep (fast agents only; heldout, K=20)
+for zt in 1.5 2.0 3.0; do
+  python evaluate.py --save_dir "$S" --data_dir "$D" --batch_size 64 \
+      --num_samples 20 --speed_bins 2,8,20 --per_scene 1 \
+      --z_temp_fast "$zt" \
+      > "$S/eval_heldout_k20_ztemp${zt}.json" 2>>/tmp/q4_err.log
+done
+
+echo QUEUE4_DONE
