@@ -164,6 +164,13 @@ class DesireConfig:
     #                              bikes+ 41.4 -> 38.1; RESULTS triage
     #                              table) — balancing works once the
     #                              representation is scale-free
+    speed_aug: float = 0.0       # train-time global window-zoom augmentation
+    #                              (trainer.py step_fn): per window, scale all
+    #                              agents around the scene center by
+    #                              exp(U(-a, a)) — widens the speed range the
+    #                              decoder/NLL see per trajectory shape
+    #                              without breaking inter-agent geometry.
+    #                              0 = off (opt-in triage lever).
     pace_range: float = 0.0      # per-lane along-track pace spread: a
     #                              zero-init head on each lane's first decode
     #                              hidden scales that lane's constant-velocity

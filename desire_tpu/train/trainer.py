@@ -28,6 +28,21 @@ def make_train_step(cfg: DesireConfig, steps_per_epoch: int,
 
     def step_fn(state: TrainState, xy, mask, ids):
         key, sub = jax.random.split(state.key)
+        if cfg.speed_aug > 0:
+            # global window zoom (config.py speed_aug): scale every agent in
+            # a window by the same factor around the scene center — relative
+            # inter-agent geometry is preserved (a uniform zoom), while the
+            # decoder/NLL targets see a wider speed range per shape (the
+            # along-track under-coverage behind the fast-agent error; with
+            # input_norm the encoders are already scale-free so this trains
+            # the speed-CONDITIONAL parts). Log-uniform in [e^-a, e^a];
+            # clipped to stay in-scene (rare edge distortion, masked coords
+            # are zeroed by the model anyway).
+            sub, kz = jax.random.split(sub)
+            s = jnp.exp(jax.random.uniform(
+                kz, (xy.shape[0], 1, 1, 1), minval=-cfg.speed_aug,
+                maxval=cfg.speed_aug))
+            xy = jnp.clip(0.5 + (xy - 0.5) * s, 0.0, 1.0)
 
         def loss_fn(params):
             return desire.desire_loss(params, cfg, xy, mask, ids,

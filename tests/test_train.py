@@ -609,3 +609,21 @@ def test_visualize_renders_pngs(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     pngs = [f for f in os.listdir(out) if f.endswith(".png")]
     assert len(pngs) == 2
+
+
+def test_speed_aug_train_step_runs_and_differs(env):
+    """speed_aug > 0 (global window-zoom augmentation) must keep the train
+    step finite and actually change the computed loss vs the unaugmented
+    step from the same state/batch (the zoom is applied pre-loss)."""
+    b = next(iter(env["loader"].epoch_batches(0)))
+    xy, mask, ids = (jnp.asarray(b.xy), jnp.asarray(b.mask),
+                     jnp.asarray(b.ids))
+    state0 = _fresh_state(env)
+    _, m_plain = env["step_fn"](state0, xy, mask, ids)
+
+    cfg_aug = micro_cfg(env["data_dir"], speed_aug=0.3)
+    step_aug = trainer.make_train_step(cfg_aug, 100)
+    state1 = _fresh_state(env)
+    _, m_aug = step_aug(state1, xy, mask, ids)
+    assert np.isfinite(float(m_aug["loss"]))
+    assert float(m_aug["loss"]) != float(m_plain["loss"])
