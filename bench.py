@@ -52,11 +52,16 @@ PEAK_HBM_BPS = float(os.environ.get("BENCH_PEAK_HBM_BPS", 819e9))
 
 
 def flagship_cfg(K=20):
+    import os
+
     from desire_tpu.config import DesireConfig
     return DesireConfig(batch_size=64, max_num_obj=60, obs_len=8, pred_len=12,
                         num_samples=K, d_dim=48, latent_size=128,
                         compute_dtype="bfloat16", num_refine=4,
-                        use_ioc=True, use_scf=True)
+                        use_ioc=True, use_scf=True,
+                        # perf-variant A/B hook for on-chip sweeps
+                        social_freeze=os.environ.get(
+                            "DESIRE_SOCIAL_FREEZE", "0") == "1")
 
 
 def make_batch(cfg, key=0):

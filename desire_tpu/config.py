@@ -164,6 +164,18 @@ class DesireConfig:
     #                              bikes+ 41.4 -> 38.1; RESULTS triage
     #                              table) — balancing works once the
     #                              representation is scale-free
+    social_freeze: bool = False  # compute the IOC social-attention pools
+    #                              ONCE from the initial (SGM) positions and
+    #                              reuse them across all refinement passes,
+    #                              instead of re-attending at the refined
+    #                              positions each pass. Refinement deltas are
+    #                              tanh-bounded (ioc.py _DELTA_SCALE), so the
+    #                              distance-kernel weights barely move; the
+    #                              per-pass (rows, rows) masked softmax is
+    #                              the dominant VPU cost of a fused-IOC pass
+    #                              once the scene tents are factorized. Off
+    #                              by default pending a held-out accuracy
+    #                              A/B (it changes inference semantics).
     speed_aug: float = 0.0       # train-time global window-zoom augmentation
     #                              (trainer.py step_fn): per window, scale all
     #                              agents around the scene center by

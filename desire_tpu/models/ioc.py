@@ -110,11 +110,18 @@ def ioc_forward(p_ioc, p_scf, cfg: DesireConfig, traj, dec_h, feat_map,
     per_iter = []
     scores = None
     traj = traj.astype(jnp.float32)  # position state stays exact
+    traj0 = traj                     # initial (SGM) positions
     # social messages depend only on dec_h -> project once, reuse per iter
     msg = scf.social_messages(p_scf, dec_h) if cfg.use_social else dec_h
+    # config.py social_freeze: attend once at the INITIAL positions, reuse
+    # the pooled social block every pass (deltas are bounded-small, so the
+    # distance-kernel weights barely move; saves the per-pass attention)
+    social0 = (scf.social_pool(p_scf, traj, msg, live)
+               if (cfg.use_social and cfg.social_freeze) else None)
 
-    def one_iter(p_ioc, p_scf, traj, msg, dec_h):
-        feats = scf.fuse_context(p_scf, cfg, traj, msg, feat_map, live)
+    def one_iter(p_ioc, p_scf, traj, msg, dec_h, social0):
+        feats = scf.fuse_context(p_scf, cfg, traj, msg, feat_map, live,
+                                 social=social0)
         _, deltas, _ = score_and_delta(p_ioc, feats, dec_h, fut_mask,
                                        cfg.scene_channels)
         return traj + deltas.astype(jnp.float32)
@@ -125,7 +132,7 @@ def ioc_forward(p_ioc, p_scf, cfg: DesireConfig, traj, dec_h, feat_map,
         # HBM-residency fix that makes K=50 training fit (see config.py)
         one_iter = jax.checkpoint(one_iter)
     for _ in range(max(iters, 1)):
-        traj = one_iter(p_ioc, p_scf, traj, msg, dec_h)
+        traj = one_iter(p_ioc, p_scf, traj, msg, dec_h, social0)
         per_iter.append(traj)
     # re-score the FINAL trajectories: inside the loop scores are computed
     # before the last delta is applied, so they would describe stale
@@ -139,8 +146,18 @@ def ioc_forward(p_ioc, p_scf, cfg: DesireConfig, traj, dec_h, feat_map,
     # refined-vs-SGM oracle gap exploded from ~2 px to ~26-29 px at epoch 1.
     # (The CE loss already stop-gradients its distance TARGET, losses.py;
     # this cuts the other, feature-side leak.)
-    feats = scf.fuse_context(p_scf, cfg, jax.lax.stop_gradient(traj), msg,
-                             feat_map, live)
+    # (under social_freeze the scoring pool is re-derived with the INITIAL
+    # positions stop-gradiented — same VALUE as social0 (fused-kernel parity)
+    # but the position leak is cut while msg/logtau keep their score-side
+    # gradient; stopping social0 wholesale would zero those at init, where
+    # the zero-init delta heads leave no other path)
+    social_sc = None
+    if social0 is not None:
+        social_sc = scf.social_pool(p_scf, jax.lax.stop_gradient(traj0),
+                                    msg, live)
+    feats = scf.fuse_context(
+        p_scf, cfg, jax.lax.stop_gradient(traj), msg, feat_map, live,
+        social=social_sc)
     scores, _, _ = score_and_delta(p_ioc, feats, dec_h, fut_mask,
                                    cfg.scene_channels)
     return traj, scores, per_iter

@@ -154,7 +154,8 @@ def social_pool(p, traj, msg, live):
     return jnp.moveaxis(out.reshape(b, k, tf, a, d), 3, 1)
 
 
-def fuse_context(p, cfg: DesireConfig, traj, msg, feat_map, live):
+def fuse_context(p, cfg: DesireConfig, traj, msg, feat_map, live,
+                 social=None):
     """The SCF vectors per (agent, lane, step): (velocity, scene, social).
 
     traj (B,A,K,Tf,2), msg = social_messages(dec_h) -> a TUPLE of
@@ -164,7 +165,11 @@ def fuse_context(p, cfg: DesireConfig, traj, msg, feat_map, live):
     blocks — three matmuls beat materializing a (B·A·K·Tf, 82) tensor.
 
     traj arrives f32 (exact positions); blocks are returned in feat_map's
-    compute dtype for the downstream GRU."""
+    compute dtype for the downstream GRU.
+
+    social: optional precomputed social block (config.py social_freeze:
+    pools attended once at the initial positions and reused per refinement
+    pass) — when given, social_pool is skipped."""
     vel = jnp.diff(traj, axis=-2, prepend=traj[..., :1, :]).astype(msg.dtype)
     b, a, k, tf, _ = traj.shape
     if ops.use_pallas(cfg):
@@ -174,5 +179,6 @@ def fuse_context(p, cfg: DesireConfig, traj, msg, feat_map, live):
         scene = bilinear_pool(feat_map, traj.reshape(b, a * k * tf, 2))
     # f32 positions x bf16 features promote — pin the block dtype back
     scene = scene.reshape(b, a, k, tf, -1).astype(msg.dtype)
-    social = social_pool(p, traj, msg, live) if cfg.use_social else None
+    if social is None and cfg.use_social:
+        social = social_pool(p, traj, msg, live)
     return vel, scene, social

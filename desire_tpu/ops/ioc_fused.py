@@ -102,7 +102,7 @@ def _tent_mm_default():
 
 
 def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
-            collect_iters=False, tent_mm=False):
+            collect_iters=False, tent_mm=False, social_freeze=False):
     (tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
      wiv_ref, wis_ref, wio_ref, wid_ref, wh_ref, bi_ref, bh_ref,
      heads_w_ref, heads_b_ref, ltau_ref) = refs[:17]
@@ -112,8 +112,11 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
          out_xi_ref, out_yi_ref) = refs[17:17 + n_out]
     else:
         out_x_ref, out_y_ref, out_sc_ref = refs[17:17 + n_out]
-    (gi_scr, hs_scr, x_scr, y_scr, fmask_scr, h_scr,
-     gi_dec_scr) = refs[17 + n_out:]
+    scr = refs[17 + n_out:]
+    soc_scr = None
+    if social_freeze:
+        *scr, soc_scr = scr
+    (gi_scr, hs_scr, x_scr, y_scr, fmask_scr, h_scr, gi_dec_scr) = scr
     t_len = fmask_ref.shape[1]
     rows = kc * a_dim                       # lanes-in-chunk x agents
     d = wh_ref.shape[0]
@@ -195,22 +198,35 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
                                    + bi)[None]
         return 0
 
-    def feat_step(t, _):
+    def feat_step(t, ip):
         """Per-step input gates for ALL kc lanes at once: block-diagonal
         social attention + tent-bilinear scene pooling + velocity block,
-        all projected and summed into gi_scr in-place."""
+        all projected and summed into gi_scr in-place. ip carries the
+        refine-pass index (unchanged) for the social_freeze branch."""
         x = x_scr[pl.ds(t, 1)]                            # (1, rows)
         y = y_scr[pl.ds(t, 1)]
         xT = jnp.swapaxes(x, 0, 1)                        # (rows, 1)
         yT = jnp.swapaxes(y, 0, 1)
-        sq = x * x + y * y                                # (1, rows)
-        gram = xT * x + yT * y                            # (rows, rows)
-        d2 = jnp.swapaxes(sq, 0, 1) + sq - 2.0 * gram
-        logits = jnp.where(excl, -1e9, -d2 / tau)
-        w = jax.nn.softmax(logits, axis=-1) * nb_ok
-        mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(jnp.float32)  # (rows, d)
-        # cross-block weights are exactly 0 -> one matmul pools every lane
-        soc_t = _mm(w, mt, cd, precision)                 # (rows, d)
+
+        def attend():
+            sq = x * x + y * y                            # (1, rows)
+            gram = xT * x + yT * y                        # (rows, rows)
+            d2 = jnp.swapaxes(sq, 0, 1) + sq - 2.0 * gram
+            logits = jnp.where(excl, -1e9, -d2 / tau)
+            w = jax.nn.softmax(logits, axis=-1) * nb_ok
+            mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(jnp.float32)
+            # cross-block weights are exactly 0 -> one matmul pools all lanes
+            return _mm(w, mt, cd, precision)              # (rows, d)
+
+        if social_freeze:
+            # attend ONCE at the pass-0 (initial SGM) positions; later
+            # passes reuse the pooled block (config.py social_freeze)
+            @pl.when(ip == 0)
+            def _():
+                soc_scr[pl.ds(t, 1)] = attend()[None]
+            soc_t = soc_scr[pl.ds(t, 1)][0]
+        else:
+            soc_t = attend()
         tp = jnp.maximum(t - 1, 0)
         vx = jnp.swapaxes(x - x_scr[pl.ds(tp, 1)], 0, 1)  # (rows, 1); 0 @t=0
         vy = jnp.swapaxes(y - y_scr[pl.ds(tp, 1)], 0, 1)
@@ -219,7 +235,7 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
             + _mm(scene_step(xT, yT), wis_ref[:], cd, precision)
             + _mm(soc_t, wio_ref[:], cd, precision)
             + gi_dec_scr[pl.ds(t, 1)][0])[None]
-        return 0
+        return ip
 
     def gru_step(t, _):
         # recurrent state via h_scr, not a fori carry (loop-carried vector
@@ -237,9 +253,9 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
         hs_scr[pl.ds(t, 1)] = h[None]
         return 0
 
-    def fuse_and_gru():
+    def fuse_and_gru(ip):
         """One full pass at (x_scr, y_scr) positions -> hs_scr filled."""
-        jax.lax.fori_loop(0, t_len, feat_step, 0)
+        jax.lax.fori_loop(0, t_len, feat_step, ip)
         h_scr[:] = jnp.zeros((rows, d), jnp.float32)
         jax.lax.fori_loop(0, t_len, gru_step, 0)
 
@@ -276,7 +292,7 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
     # frozen refined trajectory). Two call sites double the kernel body
     # and push Mosaic's compile time over a cliff.
     def refine_iter(i, carry):
-        fuse_and_gru()
+        fuse_and_gru(i)
 
         @pl.when(i < num_refine)
         def _():
@@ -317,7 +333,7 @@ def _pick_chunk(k, a_pad, max_rows=None):
 
 def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
                      fut_mask, *, num_refine, delta_scale, interpret=False,
-                     collect_iters=False):
+                     collect_iters=False, social_freeze=False):
     """Fused rank-and-refine. Shapes follow models/ioc.ioc_forward:
 
     traj (B, A, K, T, 2) f32; dec_h/msg (B, A, K, T, d) compute dtype;
@@ -383,7 +399,7 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
         _kernel, num_refine=int(num_refine),
         delta_scale=float(delta_scale), grid_g=int(g), cd=cd,
         a_dim=a, kc=kc, collect_iters=bool(collect_iters),
-        tent_mm=_tent_mm_default())
+        tent_mm=_tent_mm_default(), social_freeze=bool(social_freeze))
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -438,7 +454,8 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
             pltpu.VMEM((t, rows), jnp.float32),        # future mask
             pltpu.VMEM((rows, d), jnp.float32),        # GRU state
             pltpu.VMEM((t, rows, 3 * d), jnp.float32),  # dec_h projection
-        ],
+        ] + ([pltpu.VMEM((t, rows, d), jnp.float32)]    # frozen social pool
+             if social_freeze else []),
         interpret=interpret,
     )(tx, ty, dec_cm, msg_cm, fmap_flat, live_t, fmask_t,
       wi_v, wi_s, wi_o, wi_d, gp["wh"], gp["bi"], gp["bh"],
@@ -561,7 +578,7 @@ def make_trainable_fused_ioc(cfg, interpret=False, backward="xla"):
 
 def ioc_refine_fused_sharded(mesh, p_ioc, p_scf, traj, dec_h, msg, feat_map,
                              live, fut_mask, *, num_refine, delta_scale,
-                             interpret=False):
+                             interpret=False, social_freeze=False):
     """The fused kernel under a (data, k) device mesh, via shard_map.
 
     XLA's SPMD partitioner cannot split a pallas_call, so under a mesh the
@@ -584,7 +601,8 @@ def ioc_refine_fused_sharded(mesh, p_ioc, p_scf, traj, dec_h, msg, feat_map,
     def local(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask):
         return ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map,
                                 live, fut_mask, num_refine=num_refine,
-                                delta_scale=delta_scale, interpret=interpret)
+                                delta_scale=delta_scale, interpret=interpret,
+                                social_freeze=social_freeze)
 
     fn = shard_map(
         local, mesh=mesh,

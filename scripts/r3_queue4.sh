@@ -16,6 +16,13 @@ DESIRE_TENT_MM=1 python scripts/train_breakdown.py --iters 8 \
 DESIRE_TENT_MM=1 python bench.py --breakdown \
     > /tmp/bench_tent_mm_breakdown.json 2>>/tmp/q4_err.log
 
+# 1b. social_freeze A/B: speed (bench) + held-out accuracy on the same ckpt
+DESIRE_TENT_MM=1 DESIRE_SOCIAL_FREEZE=1 python bench.py \
+    > /tmp/bench_tent_freeze.json 2>>/tmp/q4_err.log
+python evaluate.py --save_dir "$S" --data_dir "$D" --batch_size 64 \
+    --num_samples 20 --speed_bins 2,8,20 --social_freeze 1 \
+    > "$S/eval_heldout_k20_socfreeze.json" 2>>/tmp/q4_err.log
+
 # 2. z-temperature sweep (fast agents only; heldout, K=20)
 for zt in 1.5 2.0 3.0; do
   python evaluate.py --save_dir "$S" --data_dir "$D" --batch_size 64 \

@@ -201,6 +201,32 @@ def test_fused_ioc_tent_mm_matches_xla(monkeypatch):
                                np.asarray(ref_scores), rtol=2e-4, atol=2e-4)
 
 
+def test_fused_ioc_social_freeze_matches_xla():
+    """social_freeze=True: the fused kernel (attend once at pass-0
+    positions, reuse the pooled block every pass) must reproduce the
+    XLA ioc_forward under the same config flag — and differ from the
+    per-pass-attention output (the flag must actually change semantics)."""
+    from desire_tpu.models.ioc import _DELTA_SCALE, ioc_forward
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    cfg = cfg.replace(social_freeze=True)
+    ref_traj, ref_scores, _ = ioc_forward(
+        p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+    msg = scf.social_messages(p_scf, dec_h)
+    out_traj, out_scores = ioc_refine_fused(
+        p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+        num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE,
+        interpret=True, social_freeze=True)
+    np.testing.assert_allclose(np.asarray(out_traj), np.asarray(ref_traj),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_scores),
+                               np.asarray(ref_scores), rtol=2e-4, atol=2e-4)
+    unfrozen, _ = ioc_refine_fused(
+        p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+        num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE, interpret=True)
+    assert np.abs(np.asarray(unfrozen) - np.asarray(out_traj)).max() > 1e-6
+
+
 def test_fused_ioc_row_cap_env_override(monkeypatch):
     """DESIRE_IOC_MAX_ROWS (the on-chip perf sweep knob) must only change
     the lane-chunk grid, never the numbers: forcing multi-chunk via the env
