@@ -111,12 +111,8 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
             feat_map = jnp.zeros(
                 (b, cfg.scene_grid, cfg.scene_grid, cfg.scene_channels), cd)
         meshed = cfg.mesh_data * cfg.mesh_k > 1
-        # the fused Pallas BACKWARD (ops/ioc_bwd.py) implements the per-pass
-        # attention adjoint; under social_freeze training routes through the
-        # XLA path where jax.grad derives the frozen-social gradient
         fused_train_ok = (train and cfg.fused_train and ops.use_pallas(cfg)
-                          and cfg.use_social and not meshed
-                          and not cfg.social_freeze)
+                          and cfg.use_social and not meshed)
         fused_ok = (not train and ops.use_pallas(cfg) and cfg.use_social
                     # under a mesh the kernel must go through shard_map
                     # (XLA cannot partition a pallas_call); shard_map needs

@@ -78,9 +78,9 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             dwv_ref, dws_ref, dwo_ref, dwd_ref, dwh_ref,
             dbi_ref, dbh_ref, dhw_ref, dhb_ref, dltau_ref,
             gir_s, giz_s, gin_s, hs_s, w_s, scene_s, soc_s, x_s, y_s,
-            gx_s, gy_s, dh_s, h_s, dhseed_s, gdec_s,
+            gx_s, gy_s, dh_s, h_s, dhseed_s, gdec_s, dsoc_r_s, dsoc_c_s,
             *, num_refine, delta_scale, grid_g, cd, a_dim, kc,
-            tent_mm=False):
+            tent_mm=False, social_freeze=False):
     t_len = fmask_ref.shape[1]
     rows = kc * a_dim
     d = whr_ref.shape[0]
@@ -207,7 +207,10 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             dtent_y = jnp.where(ay < 1.0, -jnp.sign(ys - col_y), 0.0)
             return (tent_x * tent_y, dtent_x * tent_y, tent_x * dtent_y)
 
-    def feat_step(t, _):
+    def attend_store(t, _):
+        """Compute attention + social pool at the CURRENT x_s/y_s positions
+        and persist (w_s, soc_s). Per pass normally; once at the level-0
+        positions under social_freeze."""
         x = x_s[pl.ds(t, 1)]                              # (1, rows)
         y = y_s[pl.ds(t, 1)]
         xT = jnp.swapaxes(x, 0, 1)
@@ -219,8 +222,17 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
         w = jax.nn.softmax(logits, axis=-1) * nb_ok
         w_s[pl.ds(t, 1)] = w[None]
         mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
-        soc = _mmf(w, mt, cd, precision)
-        soc_s[pl.ds(t, 1)] = soc[None]
+        soc_s[pl.ds(t, 1)] = _mmf(w, mt, cd, precision)[None]
+        return 0
+
+    def feat_step(t, _):
+        x = x_s[pl.ds(t, 1)]                              # (1, rows)
+        y = y_s[pl.ds(t, 1)]
+        xT = jnp.swapaxes(x, 0, 1)
+        yT = jnp.swapaxes(y, 0, 1)
+        if not social_freeze:
+            attend_store(t, 0)
+        soc = soc_s[pl.ds(t, 1)][0]
         scene = _mmf(scene_hot(xT, yT), fmap, cd, precision)
         scene_s[pl.ds(t, 1)] = scene[None]
         tp = jnp.maximum(t - 1, 0)
@@ -432,30 +444,40 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             dwo_ref[0, 0, 2 * d:3 * d] = (dwo_ref[0, 0, 2 * d:3 * d]
                                           + _contract_first(soc_t, dnp,
                                                             cd, precision))
-            dmsg_ref[0, 0, pl.ds(t, 1)] = (
-                dmsg_ref[0, 0, pl.ds(t, 1)]
-                + _contract_first(w_t, d_soc, cd, precision)[None])
-            d_w = _contract_last(d_soc, mt, cd, precision)  # (rows, rows)
-            d_sm = d_w * nb_ok
-            row_dot = jnp.sum(d_sm * w_t, axis=-1, keepdims=True)
-            d_l = w_t * d_sm - w_t * row_dot
-            d_l = jnp.where(excl, 0.0, d_l)
-            d_d2 = -d_l / tau
-            # tau adjoint: l = -d2/tau -> dl/dtau = d2/tau^2;
-            # d_ltau = sum(d_l * d2)/tau^2 * dtau/dltau, dtau/dltau = e^ltau
-            sq = x * x + y * y
-            gram = xT * x + yT * y
-            d2v = jnp.swapaxes(sq, 0, 1) + sq - 2.0 * gram
-            dltau_ref[0, 0, 0:1, 0:1] = dltau_ref[0, 0, 0:1, 0:1] + (
-                jnp.sum(d_l * d2v, keepdims=True)[0:1, 0:1]
-                / (tau * tau) * jnp.exp(ltau))
-            rs = jnp.sum(d_d2, axis=-1, keepdims=True)     # (rows, 1)
-            cs = jnp.swapaxes(jnp.sum(d_d2, axis=0, keepdims=True), 0, 1)
-            symm = d_d2 + jnp.swapaxes(d_d2, 0, 1)
-            gpx = gpx + 2.0 * ((rs + cs) * xT
-                               - _mmf(symm, xT, cd, precision))
-            gpy = gpy + 2.0 * ((rs + cs) * yT
-                               - _mmf(symm, yT, cd, precision))
+            if social_freeze:
+                # defer the attention adjoint: bucket d_soc by pass class
+                # (refine passes carry position+ltau gradient; the score
+                # pass carries ltau/msg only — XLA re-score stops positions)
+                # and run ONE frozen-attention adjoint after the pass loop.
+                dsoc_r_s[pl.ds(t, 1)] = (dsoc_r_s[pl.ds(t, 1)]
+                                         + (d_soc * df)[None])
+                dsoc_c_s[pl.ds(t, 1)] = (dsoc_c_s[pl.ds(t, 1)]
+                                         + (d_soc * zf)[None])
+            else:
+                dmsg_ref[0, 0, pl.ds(t, 1)] = (
+                    dmsg_ref[0, 0, pl.ds(t, 1)]
+                    + _contract_first(w_t, d_soc, cd, precision)[None])
+                d_w = _contract_last(d_soc, mt, cd, precision)  # (rows,rows)
+                d_sm = d_w * nb_ok
+                row_dot = jnp.sum(d_sm * w_t, axis=-1, keepdims=True)
+                d_l = w_t * d_sm - w_t * row_dot
+                d_l = jnp.where(excl, 0.0, d_l)
+                d_d2 = -d_l / tau
+                # tau adjoint: l = -d2/tau -> dl/dtau = d2/tau^2;
+                # d_ltau = sum(d_l*d2)/tau^2 * dtau/dltau, dtau/dltau = e^ltau
+                sq = x * x + y * y
+                gram = xT * x + yT * y
+                d2v = jnp.swapaxes(sq, 0, 1) + sq - 2.0 * gram
+                dltau_ref[0, 0, 0:1, 0:1] = dltau_ref[0, 0, 0:1, 0:1] + (
+                    jnp.sum(d_l * d2v, keepdims=True)[0:1, 0:1]
+                    / (tau * tau) * jnp.exp(ltau))
+                rs = jnp.sum(d_d2, axis=-1, keepdims=True)  # (rows, 1)
+                cs = jnp.swapaxes(jnp.sum(d_d2, axis=0, keepdims=True), 0, 1)
+                symm = d_d2 + jnp.swapaxes(d_d2, 0, 1)
+                gpx = gpx + 2.0 * ((rs + cs) * xT
+                                   - _mmf(symm, xT, cd, precision))
+                gpy = gpy + 2.0 * ((rs + cs) * yT
+                                   - _mmf(symm, yT, cd, precision))
 
             # velocity block
             d_vx = (jnp.sum(drp * wv_r[0:1], axis=-1, keepdims=True)
@@ -503,14 +525,63 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
 
     gx_s[:] = grx_ref[0, 0]
     gy_s[:] = gry_ref[0, 0]
+    if social_freeze:
+        # frozen attention: compute (w, soc) ONCE at the level-0 (initial
+        # SGM) positions; feat_step reuses them for every pass recompute
+        dsoc_r_s[:] = jnp.zeros(dsoc_r_s.shape, f32)
+        dsoc_c_s[:] = jnp.zeros(dsoc_c_s.shape, f32)
+        x_s[:] = lx_ref[0, 0, 0]
+        y_s[:] = ly_ref[0, 0, 0]
+        jax.lax.fori_loop(0, t_len, attend_store, 0)
     jax.lax.fori_loop(0, num_refine + 1, pass_body, 0)
+    if social_freeze:
+        # deferred frozen-attention adjoint, once per step: x_s/y_s hold the
+        # level-0 positions again (pass_body's last iteration is p=0)
+        def attn_adj(t, _):
+            x = x_s[pl.ds(t, 1)]
+            y = y_s[pl.ds(t, 1)]
+            xT = jnp.swapaxes(x, 0, 1)
+            yT = jnp.swapaxes(y, 0, 1)
+            w_t = w_s[pl.ds(t, 1)][0]
+            mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
+            dsr = dsoc_r_s[pl.ds(t, 1)][0]
+            dsc = dsoc_c_s[pl.ds(t, 1)][0]
+            dmsg_ref[0, 0, pl.ds(t, 1)] = (
+                dmsg_ref[0, 0, pl.ds(t, 1)]
+                + _contract_first(w_t, dsr + dsc, cd, precision)[None])
+            sq = x * x + y * y
+            gram = xT * x + yT * y
+            d2v = jnp.swapaxes(sq, 0, 1) + sq - 2.0 * gram
+
+            def softmax_adj(d_soc_in):
+                d_w = _contract_last(d_soc_in, mt, cd, precision)
+                d_sm = d_w * nb_ok
+                row_dot = jnp.sum(d_sm * w_t, axis=-1, keepdims=True)
+                return jnp.where(excl, 0.0, w_t * d_sm - w_t * row_dot)
+
+            # ltau hears BOTH buckets; positions only the refine bucket
+            d_l_all = softmax_adj(dsr + dsc)
+            dltau_ref[0, 0, 0:1, 0:1] = dltau_ref[0, 0, 0:1, 0:1] + (
+                jnp.sum(d_l_all * d2v, keepdims=True)[0:1, 0:1]
+                / (tau * tau) * jnp.exp(ltau))
+            d_d2 = -softmax_adj(dsr) / tau
+            rs = jnp.sum(d_d2, axis=-1, keepdims=True)     # (rows, 1)
+            cs = jnp.swapaxes(jnp.sum(d_d2, axis=0, keepdims=True), 0, 1)
+            symm = d_d2 + jnp.swapaxes(d_d2, 0, 1)
+            gpx = 2.0 * ((rs + cs) * xT - _mmf(symm, xT, cd, precision))
+            gpy = 2.0 * ((rs + cs) * yT - _mmf(symm, yT, cd, precision))
+            gx_s[pl.ds(t, 1)] = gx_s[pl.ds(t, 1)] + jnp.swapaxes(gpx, 0, 1)
+            gy_s[pl.ds(t, 1)] = gy_s[pl.ds(t, 1)] + jnp.swapaxes(gpy, 0, 1)
+            return 0
+
+        jax.lax.fori_loop(0, t_len, attn_adj, 0)
     dtx_ref[0, 0] = gx_s[:]
     dty_ref[0, 0] = gy_s[:]
 
 
 def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
                    iters, d_refined, d_scores, d_iters, *, num_refine,
-                   delta_scale, interpret=False):
+                   delta_scale, interpret=False, social_freeze=False):
     """Drive the backward kernel; returns cotangents
     (d_traj, d_dec, d_msg, d_feat_map, grads_gru, grads_heads, d_ltau)
     where grads_gru = {'wi','wh','bi','bh'} matching p_ioc['gru'][0] and
@@ -603,7 +674,7 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
     kernel = functools.partial(
         _kernel, num_refine=nr, delta_scale=float(delta_scale),
         grid_g=int(g), cd=cd, a_dim=a, kc=kc,
-        tent_mm=_tent_mm_default())
+        tent_mm=_tent_mm_default(), social_freeze=bool(social_freeze))
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -686,6 +757,10 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
             pltpu.VMEM((rows, d), f32),                    # h carry
             pltpu.VMEM((t, rows, d), f32),                 # dh seeds
             pltpu.VMEM((t, rows, 3 * d), f32),             # dec projection
+            # d_soc buckets (refine / score) for the deferred frozen-
+            # attention adjoint; dummy-sized when social_freeze is off
+            pltpu.VMEM((t, rows, d) if social_freeze else (1, 8, 128), f32),
+            pltpu.VMEM((t, rows, d) if social_freeze else (1, 8, 128), f32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),

@@ -519,7 +519,8 @@ def make_trainable_fused_ioc(cfg, interpret=False, backward="xla"):
         refined, scores, iters = ioc_refine_fused(
             p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
             num_refine=num_refine, delta_scale=ioc_mod._DELTA_SCALE,
-            interpret=interpret, collect_iters=True)
+            interpret=interpret, collect_iters=True,
+            social_freeze=cfg.social_freeze)
         # primal output dtypes must equal xla_fn's (custom_vjp cotangents
         # are checked against them): the XLA path emits scores in the
         # compute dtype, the kernel accumulates them in f32
@@ -547,7 +548,7 @@ def make_trainable_fused_ioc(cfg, interpret=False, backward="xla"):
             p_ioc, p_scf, traj.astype(jnp.float32), dec_h, msg, feat_map,
             live, fut_mask, iters, d_refined, d_scores, d_iters,
             num_refine=num_refine, delta_scale=ioc_mod._DELTA_SCALE,
-            interpret=interpret)
+            interpret=interpret, social_freeze=cfg.social_freeze)
         # chain msg = dec_h @ W + b back into dec_h and the scf params
         w_msg = p_scf["soc_msg"]["w"]
         d_dec_total = d_dec + jnp.einsum(

@@ -16,9 +16,19 @@ DESIRE_TENT_MM=1 python scripts/train_breakdown.py --iters 8 \
 DESIRE_TENT_MM=1 python bench.py --breakdown \
     > /tmp/bench_tent_mm_breakdown.json 2>>/tmp/q4_err.log
 
-# 1b. social_freeze A/B: speed (bench) + held-out accuracy on the same ckpt
+# 1b. social_freeze A/B: speed (bench fwd + train step) + held-out accuracy
 DESIRE_TENT_MM=1 DESIRE_SOCIAL_FREEZE=1 python bench.py \
     > /tmp/bench_tent_freeze.json 2>>/tmp/q4_err.log
+DESIRE_TENT_MM=1 DESIRE_SOCIAL_FREEZE=1 python - <<'EOF' \
+    > /tmp/train_step_freeze.json 2>>/tmp/q4_err.log
+import json, sys
+sys.path.insert(0, '/root/repo')
+import bench
+sps, dt, mfu, hbm = bench.bench_train(iters=8, warmup=3)
+print(json.dumps({"variant": "tent_mm+social_freeze fused train",
+                  "ms_per_step": round(dt * 1e3, 1),
+                  "steps_per_sec": round(sps, 2)}), flush=True)
+EOF
 python evaluate.py --save_dir "$S" --data_dir "$D" --batch_size 64 \
     --num_samples 20 --speed_bins 2,8,20 --social_freeze 1 \
     > "$S/eval_heldout_k20_socfreeze.json" 2>>/tmp/q4_err.log

@@ -458,15 +458,20 @@ def test_fused_sgm_sampler_lane_chunked_matches_single_chunk():
                                    rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("tent_mm", ["0", "1"])
-def test_pallas_backward_ioc_gradient_parity(tent_mm, monkeypatch):
+@pytest.mark.parametrize("tent_mm,freeze", [("0", False), ("1", False),
+                                            ("0", True)])
+def test_pallas_backward_ioc_gradient_parity(tent_mm, freeze, monkeypatch):
     """The full Pallas backward (ops/ioc_bwd.py) must reproduce jax.grad of
     the XLA ioc_forward for every input and parameter — with both the wide
-    and the factorized (DESIRE_TENT_MM=1) scene-tent builds."""
+    and the factorized (DESIRE_TENT_MM=1) scene-tent builds, and with the
+    frozen social attention (social_freeze: one deferred attention adjoint;
+    positions hear only the refine passes, ltau/msg also the score pass)."""
     from desire_tpu.models.ioc import ioc_forward
     from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
     monkeypatch.setenv("DESIRE_TENT_MM", tent_mm)
     cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    if freeze:
+        cfg = cfg.replace(social_freeze=True)
     fused = make_trainable_fused_ioc(cfg, interpret=True, backward="pallas")
     wts = jax.random.normal(jax.random.PRNGKey(9), live.shape + (3,))
 
@@ -496,14 +501,16 @@ def test_pallas_backward_ioc_gradient_parity(tent_mm, monkeypatch):
             err_msg=jax.tree_util.keystr(path))
 
 
-def test_pallas_backward_ioc_parity_chunked():
+@pytest.mark.parametrize("freeze", [False, True])
+def test_pallas_backward_ioc_parity_chunked(freeze):
     """Same parity with a multi-chunk lane layout (kc < K) and 4 refinement
-    iterations — the flagship configuration's control flow."""
+    iterations — the flagship configuration's control flow — with and
+    without the frozen social attention."""
     from desire_tpu.models.ioc import ioc_forward
     from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
     cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env(
         seed=1, b=1, a=33, k=10, t=4)
-    cfg = cfg.replace(num_refine=4)
+    cfg = cfg.replace(num_refine=4, social_freeze=freeze)
     fused = make_trainable_fused_ioc(cfg, interpret=True, backward="pallas")
 
     def loss_fused(p_ioc, traj, dec_h):
