@@ -36,6 +36,9 @@ _GEOMETRY_FIELDS = ("d_dim", "latent_size", "embedding_size", "rnn_size",
                     #                an input_norm-trained ckpt evaluated
                     #                without it is a shape mismatch
                     "pace_range",  # adds the pace param + scales lane CVs
+                    "social_freeze",  # a freeze-trained ckpt must eval
+                    #                   frozen (same forward semantics)
+                    #                   unless explicitly overridden
                     "obs_len", "pred_len", "subsample", "max_num_obj",
                     "protocol")  # window geometry the model was trained on
 #                      vel_scale/speed_norm/... shape the forward pass —
