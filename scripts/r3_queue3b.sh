@@ -9,6 +9,7 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 D=/root/reference/data
 : "${FLAGS:=}"
 : "${SAVE:=save/r3_final}"
+mkdir -p "$SAVE"
 
 # 1. flagship (new defaults: input_norm on, speed_loss_alpha 0.5)
 python train.py --data_dir "$D" --num_epochs 100 --batch_size 64 \
@@ -44,3 +45,11 @@ print(json.dumps({"max_rows": os.environ["DESIRE_IOC_MAX_ROWS"],
 EOF
 done > /tmp/ioc_rows_sweep.jsonl
 echo QUEUE3B_DONE
+
+# 5. chain the post-flagship measurement queue (tent A/B, social_freeze
+# A/B, z-temp sweep) and the triage queue (speed_aug, freeze-trained) —
+# the tunnel watcher launches only this script, so the whole remaining
+# TPU plan must hang off it.
+bash scripts/r3_queue4.sh > /tmp/r3_queue4.log 2>&1
+bash scripts/r3_queue5.sh > /tmp/r3_queue5.log 2>&1
+echo CHAIN_ALL_DONE
