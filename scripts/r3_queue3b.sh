@@ -33,7 +33,7 @@ python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
 python bench.py > /tmp/bench_r3_final.json 2>>/tmp/q3_err.log
 
 # 4. IOC lane-chunk row-cap sweep (optional perf datapoint)
-for mr in 640 1280; do
+for mr in 64 640 1280; do
   DESIRE_IOC_MAX_ROWS=$mr python - <<'EOF' 2>>/tmp/q3_sweep_err.log
 import json, os, sys
 sys.path.insert(0, '/root/repo')
