@@ -104,3 +104,27 @@ def load_config(directory: str) -> DesireConfig | None:
         return None
     with open(path) as f:
         return DesireConfig.from_json(f.read())
+
+
+# Model-geometry fields: the config entries that shape the forward pass or
+# the parameter pytree. Anything that restores a checkpoint (evaluate.py,
+# serve.Predictor) must take these from the SAVED config, not the caller's
+# defaults — e.g. input_norm changes the embed width (shape mismatch),
+# vel_scale/speed_norm silently rescale every residual, social_freeze
+# changes inference semantics.
+GEOMETRY_FIELDS = (
+    "d_dim", "latent_size", "embedding_size", "rnn_size", "num_layers",
+    "channel_multiplier", "scene_grid", "scene_channels", "use_ioc",
+    "use_scf", "use_social", "num_refine", "vel_scale", "speed_norm",
+    "vel_gain", "vel_floor", "cond_prior", "learn_bound", "vae_dec",
+    "input_norm", "pace_range", "social_freeze",
+    "obs_len", "pred_len", "subsample", "max_num_obj", "protocol")
+
+
+def overlay_geometry(cfg: DesireConfig, saved_cfg: DesireConfig,
+                     skip: tuple | frozenset = ()) -> DesireConfig:
+    """Overlay the saved checkpoint's geometry onto cfg (minus `skip` —
+    fields the caller explicitly set, e.g. --num_refine 0 to eval the raw
+    SGM hypotheses)."""
+    return cfg.replace(**{f: getattr(saved_cfg, f) for f in GEOMETRY_FIELDS
+                          if f not in skip})

@@ -26,24 +26,10 @@ from desire_tpu.train.state import create_train_state
 
 # model-geometry fields: restored from the checkpoint config unless the flag
 # is explicitly passed on the command line (sentinel-default argparse — an
-# explicit flag equal to the dataclass default still wins, ADVICE r1)
-_GEOMETRY_FIELDS = ("d_dim", "latent_size", "embedding_size", "rnn_size",
-                    "num_layers", "channel_multiplier", "scene_grid",
-                    "scene_channels", "use_ioc", "use_scf", "use_social",
-                    "num_refine", "vel_scale", "speed_norm", "vel_gain",
-                    "vel_floor", "cond_prior", "learn_bound", "vae_dec",
-                    "input_norm",  # changes the embed width (4 vs 5 feats) —
-                    #                an input_norm-trained ckpt evaluated
-                    #                without it is a shape mismatch
-                    "pace_range",  # adds the pace param + scales lane CVs
-                    "social_freeze",  # a freeze-trained ckpt must eval
-                    #                   frozen (same forward semantics)
-                    #                   unless explicitly overridden
-                    "obs_len", "pred_len", "subsample", "max_num_obj",
-                    "protocol")  # window geometry the model was trained on
-#                      vel_scale/speed_norm/... shape the forward pass —
-#                      restoring without them would silently rescale every
-#                      residual
+# explicit flag equal to the dataclass default still wins, ADVICE r1).
+# The field list lives next to the checkpoint code (one source for every
+# restoring entry point: this, serve.Predictor).
+_GEOMETRY_FIELDS = ckpt_mod.GEOMETRY_FIELDS
 
 
 def main(argv=None):
@@ -110,8 +96,7 @@ def main(argv=None):
     if saved_cfg is not None and not args.random_params:
         # geometry comes from the checkpoint UNLESS explicitly flagged (e.g.
         # --num_refine 0 to eval the raw SGM hypotheses)
-        cfg = cfg.replace(**{f: getattr(saved_cfg, f)
-                             for f in _GEOMETRY_FIELDS if f not in explicit})
+        cfg = ckpt_mod.overlay_geometry(cfg, saved_cfg, skip=explicit)
 
     split = None if (args.split == "all" or cfg.holdout == "none") \
         else args.split
