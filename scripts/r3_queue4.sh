@@ -33,6 +33,10 @@ python evaluate.py --save_dir "$S" --data_dir "$D" --batch_size 64 \
     --num_samples 20 --speed_bins 2,8,20 --social_freeze 1 \
     > "$S/eval_heldout_k20_socfreeze.json" 2>>/tmp/q4_err.log
 
+# 1c. serving-path latency at flagship shapes (full host->device->host)
+python scripts/bench_serve.py --save_dir "$S" \
+    > /tmp/bench_serve.json 2>>/tmp/q4_err.log
+
 # 2. z-temperature sweep (fast agents only; heldout, K=20)
 for zt in 1.5 2.0 3.0; do
   python evaluate.py --save_dir "$S" --data_dir "$D" --batch_size 64 \
