@@ -459,7 +459,7 @@ def test_fused_sgm_sampler_lane_chunked_matches_single_chunk():
 
 
 @pytest.mark.parametrize("tent_mm,freeze", [("0", False), ("1", False),
-                                            ("0", True)])
+                                            ("0", True), ("1", True)])
 def test_pallas_backward_ioc_gradient_parity(tent_mm, freeze, monkeypatch):
     """The full Pallas backward (ops/ioc_bwd.py) must reproduce jax.grad of
     the XLA ioc_forward for every input and parameter — with both the wide
