@@ -163,7 +163,8 @@ class Predictor:
         self._calls += 1
         out = []
         for i in range(len(windows)):
-            na = np.asarray(windows[i][2]).shape[0]
+            # agents beyond capacity were truncated by _assemble
+            na = min(np.asarray(windows[i][2]).shape[0], self.cfg.max_num_obj)
             s = scales[i]
             out.append({
                 "ids": ids[i, :na].copy(),
