@@ -52,4 +52,5 @@ echo QUEUE3B_DONE
 # TPU plan must hang off it.
 bash scripts/r3_queue4.sh > /tmp/r3_queue4.log 2>&1
 bash scripts/r3_queue5.sh > /tmp/r3_queue5.log 2>&1
+bash scripts/r3_queue6.sh > /tmp/r3_queue6.log 2>&1
 echo CHAIN_ALL_DONE
