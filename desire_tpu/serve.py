@@ -55,11 +55,16 @@ class Predictor:
     best : restore save_dir/best instead of the latest checkpoint.
     params/cfg : bypass checkpoint loading (tests, embedding in another
         process that already holds the state).
+    mesh : optional (data, k) jax.sharding.Mesh for scale-out serving —
+        windows shard over the ``data`` axis and hypothesis lanes over
+        ``k`` (the model's in-graph shard hints), exactly the inference
+        layout trainer.make_eval_forward uses. Requires
+        max_windows % mesh_data == 0.
     """
 
     def __init__(self, save_dir: str | None = None, *, k_samples=None,
                  max_windows: int = 8, best: bool = False, seed: int = 0,
-                 params=None, cfg: DesireConfig | None = None):
+                 params=None, cfg: DesireConfig | None = None, mesh=None):
         if params is None or cfg is None:
             if not save_dir:
                 raise ValueError("need save_dir or explicit (params, cfg)")
@@ -95,7 +100,18 @@ class Predictor:
                 scores = jnp.zeros(traj.shape[:3], traj.dtype)
             return traj, scores, M.best_of_k_by_score(traj, scores)
 
-        self._fn = jax.jit(fn)
+        if mesh is None:
+            self._fn = jax.jit(fn)
+        else:
+            from desire_tpu.parallel import mesh as mesh_mod
+            data_size = mesh.shape[mesh_mod.DATA_AXIS]
+            if self.max_windows % data_size:
+                raise ValueError(
+                    f"max_windows={self.max_windows} must divide over the "
+                    f"data axis ({data_size} devices)")
+            bsh = mesh_mod.batch_sharding(mesh)
+            rep = mesh_mod.replicated(mesh)
+            self._fn = jax.jit(fn, in_shardings=(rep, bsh, bsh, bsh, rep))
 
     # -- shape assembly ------------------------------------------------------
 

@@ -136,6 +136,29 @@ def test_stream_server_evicts_stale_agents(pred):
     assert out is not None and out["ids"].tolist() == [8]
 
 
+def test_mesh_sharded_serving_matches_single_device():
+    """Scale-out serving: a (data=4, k=2) mesh Predictor returns the same
+    forecasts as the unsharded one (same params, same key)."""
+    from desire_tpu.parallel import mesh as mesh_mod
+    cfg = _cfg(num_samples=4, mesh_data=4, mesh_k=2)
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    mesh = mesh_mod.make_mesh(4, 2)
+    p1 = Predictor(params=params, cfg=cfg.replace(mesh_data=1, mesh_k=1),
+                   max_windows=4)
+    p8 = Predictor(params=params, cfg=cfg, max_windows=4, mesh=mesh)
+    wins = [_window(cfg, seed=s) for s in range(4)]
+    key = jax.random.PRNGKey(11)
+    a = p1.predict_windows(wins, scales=100.0, key=key)
+    b = p8.predict_windows(wins, scales=100.0, key=key)
+    for oa, ob in zip(a, b):
+        np.testing.assert_allclose(oa["traj"], ob["traj"], rtol=2e-5,
+                                   atol=1e-3)
+        np.testing.assert_allclose(oa["scores"], ob["scores"], rtol=2e-4,
+                                   atol=1e-4)
+    with pytest.raises(ValueError):
+        Predictor(params=params, cfg=cfg, max_windows=3, mesh=mesh)
+
+
 def _save_checkpoint(tmp_path, cfg):
     params = init_desire(jax.random.PRNGKey(0), cfg)
     state = create_train_state(cfg, params, steps_per_epoch=10)
