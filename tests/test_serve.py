@@ -184,6 +184,30 @@ def test_predictor_restores_geometry_from_checkpoint(tmp_path):
     assert stats["calls"] == 1 and stats["latency_ms_p50"] > 0
 
 
+def test_predict_cli_stream_mode(tmp_path, capsys, monkeypatch):
+    import io
+
+    cfg = _cfg()
+    _save_checkpoint(tmp_path / "ckpt", cfg)
+    sub, to = cfg.subsample, cfg.obs_len
+    lines = []
+    for f in range(0, (to + 1) * sub):
+        lines.append(json.dumps(
+            {"frame": f,
+             "agents": [[2, 30 + 1.1 * f, 40 - 0.4 * f],
+                        [6, 70 - 0.8 * f, 25 + 0.9 * f]]}))
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+    import predict
+    predict.main(["--save_dir", str(tmp_path / "ckpt"), "--stream",
+                  "--scale", "120", "--top_k", "1"])
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert out[0]["ready"] and out[0]["subsample"] == sub
+    forecasts = [r for r in out if "agents" in r]
+    assert len(forecasts) == 2           # steps to-1 and to
+    assert {a["id"] for a in forecasts[0]["agents"]} == {2, 6}
+    assert len(forecasts[0]["agents"][0]["top1"]) == cfg.pred_len
+
+
 def test_predict_cli_file_mode(tmp_path, capsys):
     # synthetic video CSV in the reference's transposed 4-row layout
     cfg = _cfg()
