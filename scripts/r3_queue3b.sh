@@ -11,9 +11,16 @@ D=/root/reference/data
 : "${SAVE:=save/r3_final}"
 mkdir -p "$SAVE"
 
-# 1. flagship (new defaults: input_norm on, speed_loss_alpha 0.5)
-python train.py --data_dir "$D" --num_epochs 100 --batch_size 64 \
+# 1. flagship (new defaults: input_norm on, speed_loss_alpha 0.5), staged
+# as 40 epochs -> quick held-out eval -> resume to 100: if the tunnel dies
+# (or the round ends) mid-run, the 40-epoch zero-flag numbers exist.
+python train.py --data_dir "$D" --num_epochs 40 --batch_size 64 \
     --save_dir "$SAVE" $FLAGS 2>&1 | tail -3
+python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
+    --num_samples 20 --speed_bins 2,8,20 --per_scene 1 \
+    > "$SAVE/eval_heldout_k20_e40.json" 2>>/tmp/q3_err.log
+python train.py --data_dir "$D" --num_epochs 100 --batch_size 64 \
+    --save_dir "$SAVE" --resume 1 $FLAGS 2>&1 | tail -3
 
 # 2. full eval sweep (K=20 with everything, K=50, in-sample gap, blend)
 python evaluate.py --save_dir "$SAVE" --data_dir "$D" --batch_size 64 \
