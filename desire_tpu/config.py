@@ -134,6 +134,15 @@ class DesireConfig:
     #                              (initialized at the config values): training
     #                              calibrates the residual envelope instead of
     #                              trusting the hand-picked 2.0/0.004
+    aniso_bound: bool = False    # anisotropic residual bound: decode the
+    #                              tanh residuals in the agent's observed
+    #                              HEADING frame with separate learned
+    #                              along-/cross-track gains (requires
+    #                              speed_norm+learn_bound). Motivated by the
+    #                              round-3 track decomposition: bike error is
+    #                              2-4x ALONG-track, so the envelope should
+    #                              be able to widen along the direction of
+    #                              motion without adding lateral spread
     input_norm: bool = True      # scale-free trajectory encoding: divide the
     #                              ENCODER-side relative coordinates by the
     #                              agent's observed speed (stop-gradient) and

@@ -98,6 +98,13 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
         # at the config values; observed speed itself stays stop-gradient
         p["vel_gain_log"] = jnp.asarray(jnp.log(cfg.vel_gain), dtype)
         p["vel_floor_log"] = jnp.asarray(jnp.log(cfg.vel_floor), dtype)
+        if cfg.aniso_bound:
+            # cross-track gain starts EQUAL to the along-track one (the
+            # heading-frame decode is then an exact reparameterization of
+            # the isotropic envelope's reachable set); training separates
+            # them (config.py aniso_bound)
+            p["vel_gain_cross_log"] = jnp.asarray(
+                jnp.log(cfg.vel_gain), dtype)
     if cfg.pace_range > 0:
         # per-lane pace head (config.py pace_range): zero-init -> pace
         # factor exactly 1 at init (the pre-flag composition); reads the
@@ -274,7 +281,7 @@ def decode_hypotheses(p, cfg: DesireConfig, h_seed, h_init, pred_len):
 
 
 def compose_positions(raw, origin, vel_scale=0.25, cv_vel=None,
-                      vel_bound=None):
+                      vel_bound=None, vel_bound_cross=None, heading=None):
     """Velocity-residuals-around-constant-velocity -> absolute position
     Gaussians.
 
@@ -298,7 +305,21 @@ def compose_positions(raw, origin, vel_scale=0.25, cv_vel=None,
     with absolute means in channels 0:2.
     """
     bound = vel_scale if vel_bound is None else vel_bound[..., None, :]
-    vel = jnp.tanh(raw[..., 0:2]) * bound
+    if heading is not None:
+        # anisotropic heading-frame decode (config.py aniso_bound): raw
+        # channels are (along, cross) residuals in the observed-heading
+        # frame, each with its own envelope, rotated back to scene xy.
+        # heading is a (..., 2) unit vector (stop-gradient, data-derived);
+        # at heading=(1,0) this reduces exactly to the isotropic formula
+        # with per-channel bounds.
+        ca = heading[..., None, 0:1]
+        sa = heading[..., None, 1:2]
+        va = jnp.tanh(raw[..., 0:1]) * bound
+        vc = jnp.tanh(raw[..., 1:2]) * vel_bound_cross[..., None, :]
+        vel = jnp.concatenate([va * ca - vc * sa, va * sa + vc * ca],
+                              axis=-1)
+    else:
+        vel = jnp.tanh(raw[..., 0:2]) * bound
     mu = origin[..., None, :] + jnp.cumsum(vel, axis=-2)
     if cv_vel is not None:
         t = jnp.arange(1, raw.shape[-2] + 1, dtype=mu.dtype)
@@ -338,6 +359,38 @@ def mean_observed_velocity(rel_obs, obs_mask):
     d = jnp.diff(rel_obs, axis=1) * both[..., None]
     steps = jnp.maximum(jnp.sum(both, axis=1), 1e-6)
     return jnp.sum(d, axis=1) / steps[..., None]
+
+
+def _residual_envelope(p, cfg, rel_obs, obs_mask, cv_vel):
+    """Per-agent residual envelope for compose_positions (one source for
+    the XLA and fused-sampler branches).
+
+    Returns (vel_bound, vel_bound_cross, heading): the speed-adaptive
+    along-track bound (N, 1, 1) (or None when not speed_norm), plus — under
+    config.py aniso_bound — a separately-learned cross-track bound and the
+    observed-heading unit vector (N, 1, 2) that compose_positions rotates
+    the residual frame by. Speed and heading are stop-gradient
+    (data-derived); gains/floor are the learned envelope scalars.
+    """
+    if not cfg.speed_norm:
+        return None, None, None
+    s = jax.lax.stop_gradient(observed_speed(rel_obs, obs_mask))
+    if "vel_gain_log" in p:
+        gain = jnp.exp(p["vel_gain_log"]).astype(s.dtype)
+        floor = jnp.exp(p["vel_floor_log"]).astype(s.dtype)
+    else:
+        gain, floor = cfg.vel_gain, cfg.vel_floor
+    vel_bound = (gain * s + floor)[:, None]               # (N, 1, 1)
+    if "vel_gain_cross_log" not in p:
+        return vel_bound, None, None
+    gain_c = jnp.exp(p["vel_gain_cross_log"]).astype(s.dtype)
+    bound_c = (gain_c * s + floor)[:, None]               # (N, 1, 1)
+    nrm = jnp.linalg.norm(cv_vel, axis=-1, keepdims=True)  # (N, 1)
+    # near-stationary agents get an arbitrary (but unit) frame — harmless,
+    # since both bounds collapse to the shared floor there
+    u = jnp.where(nrm > 1e-6, cv_vel / jnp.maximum(nrm, 1e-6),
+                  jnp.asarray([1.0, 0.0], cv_vel.dtype))
+    return vel_bound, bound_c, jax.lax.stop_gradient(u)[:, None, :]
 
 
 def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
@@ -420,19 +473,13 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
         raw = shard_hint(raw, "data", "k")
         dec_h = shard_hint(dec_h, "data", "k")
         cv_vel = mean_observed_velocity(rel_obs, obs_mask)
-        vel_bound = None
-        if cfg.speed_norm:
-            s = jax.lax.stop_gradient(observed_speed(rel_obs, obs_mask))
-            if "vel_gain_log" in p:
-                gain = jnp.exp(p["vel_gain_log"]).astype(s.dtype)
-                floor = jnp.exp(p["vel_floor_log"]).astype(s.dtype)
-            else:
-                gain, floor = cfg.vel_gain, cfg.vel_floor
-            vel_bound = (gain * s + floor)[:, None]
+        vel_bound, bound_c, heading = _residual_envelope(
+            p, cfg, rel_obs, obs_mask, cv_vel)
         raw5 = compose_positions(raw.astype(jnp.float32), origin[:, None, :],
                                  cfg.vel_scale,
                                  cv_vel=_lane_cv(p, cfg, cv_vel, dec_h_f32),
-                                 vel_bound=vel_bound)
+                                 vel_bound=vel_bound,
+                                 vel_bound_cross=bound_c, heading=heading)
         return {
             "raw5": raw5, "traj_mu": raw5[..., 0:2], "dec_h": dec_h,
             "z_mu": None, "z_logvar": None,
@@ -512,25 +559,17 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
     raw = shard_hint(raw.reshape(n, K, pred_len, 5), "data", "k")
     dec_h = shard_hint(dec_h.reshape(n, K, pred_len, -1), "data", "k")
     cv_vel = mean_observed_velocity(rel_obs, obs_mask)    # (N, 2) f32
-    vel_bound = None
-    if cfg.speed_norm:
-        # speed-adaptive residual bound: the head's tanh output scales with
-        # how fast this agent actually moves. Speed itself is stop-gradient
-        # (data-derived); gain/floor are learned scalars when learn_bound
-        # (training calibrates the envelope; exp keeps them positive)
-        s = jax.lax.stop_gradient(observed_speed(rel_obs, obs_mask))
-        if "vel_gain_log" in p:
-            gain = jnp.exp(p["vel_gain_log"]).astype(s.dtype)
-            floor = jnp.exp(p["vel_floor_log"]).astype(s.dtype)
-        else:
-            gain, floor = cfg.vel_gain, cfg.vel_floor
-        vel_bound = (gain * s + floor)[:, None]               # (N, 1, 1)
+    # speed-adaptive residual bound (+ optional heading-frame anisotropy):
+    # the head's tanh output scales with how fast this agent actually moves
+    vel_bound, bound_c, heading = _residual_envelope(
+        p, cfg, rel_obs, obs_mask, cv_vel)
     # position composition in f32 (see dtype note above); the decoder's raw
     # head outputs are the only compute_dtype input here
     raw5 = compose_positions(raw.astype(jnp.float32), origin[:, None, :],
                              cfg.vel_scale,
                              cv_vel=_lane_cv(p, cfg, cv_vel, dec_h),
-                             vel_bound=vel_bound)
+                             vel_bound=vel_bound,
+                             vel_bound_cross=bound_c, heading=heading)
 
     return {
         "raw5": raw5,                 # (N, K, Tf, 5) absolute-position gaussians

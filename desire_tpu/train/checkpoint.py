@@ -116,8 +116,8 @@ GEOMETRY_FIELDS = (
     "d_dim", "latent_size", "embedding_size", "rnn_size", "num_layers",
     "channel_multiplier", "scene_grid", "scene_channels", "use_ioc",
     "use_scf", "use_social", "num_refine", "vel_scale", "speed_norm",
-    "vel_gain", "vel_floor", "cond_prior", "learn_bound", "vae_dec",
-    "input_norm", "pace_range", "social_freeze",
+    "vel_gain", "vel_floor", "cond_prior", "learn_bound", "aniso_bound",
+    "vae_dec", "input_norm", "pace_range", "social_freeze",
     "obs_len", "pred_len", "subsample", "max_num_obj", "protocol")
 
 

@@ -508,6 +508,48 @@ def test_variety_subset_bounds_full_min():
     assert float(l_sub) >= float(l_all) - 1e-5
 
 
+def test_aniso_bound_heading_frame():
+    """config.py aniso_bound: residuals decode in the observed-heading frame
+    with separate along/cross envelopes. With the head zeroed except a
+    saturated ALONG channel, the step-1 deviation from CV extrapolation must
+    point exactly along the heading with magnitude = the along bound —
+    for an agent moving in +y, that means zero x-deviation."""
+    cfg = tiny_cfg(speed_norm=True, learn_bound=True, aniso_bound=True,
+                   vel_gain=2.0, vel_floor=0.004)
+    p = sgm.init_sgm(jax.random.PRNGKey(0), cfg)
+    assert "vel_gain_cross_log" in p
+    p = dict(p, head={"w": jnp.zeros_like(p["head"]["w"]),
+                      "b": jnp.array([50., 0., 0., 0., 0.])})
+    to = cfg.obs_len
+    t = jnp.arange(to, dtype=jnp.float32)
+    # one agent moving +y at 0.05/step, one moving +x at 0.02/step
+    up = jnp.stack([jnp.full((to,), 0.5), 0.1 + 0.05 * t], -1)
+    right = jnp.stack([0.1 + 0.02 * t, jnp.full((to,), 0.5)], -1)
+    obs = jnp.stack([up, right])                          # (2, To, 2)
+    n = 2
+    out = sgm.sgm_forward(p, cfg, obs, jnp.ones((n, to)),
+                          key=jax.random.PRNGKey(1), train=False)
+    cv = sgm.mean_observed_velocity(obs - obs[:, -1:], jnp.ones((n, to)))
+    dev = out["traj_mu"][:, 0, 0, :] - (obs[:, -1] + cv)  # (2, 2)
+    b_up = cfg.vel_gain * 0.05 + cfg.vel_floor
+    b_right = cfg.vel_gain * 0.02 + cfg.vel_floor
+    np.testing.assert_allclose(float(dev[0, 1]), b_up, rtol=1e-3)
+    np.testing.assert_allclose(float(dev[0, 0]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(dev[1, 0]), b_right, rtol=1e-3)
+    np.testing.assert_allclose(float(dev[1, 1]), 0.0, atol=1e-6)
+
+    # end-to-end: trains finite and the CROSS gain receives gradient
+    full = tiny_cfg(speed_norm=True, learn_bound=True, aniso_bound=True)
+    params = desire.init_desire(jax.random.PRNGKey(0), full)
+    xy, mask, ids = _toy_batch(full)
+    loss, g = jax.value_and_grad(lambda q: desire.desire_loss(
+        q, full, xy, mask, ids, key=jax.random.PRNGKey(1), step=1000)[0]
+    )(params)
+    assert np.isfinite(float(loss))
+    gc = float(g["sgm"]["vel_gain_cross_log"])
+    assert np.isfinite(gc) and abs(gc) > 0
+
+
 def test_learned_bound_receives_gradient():
     cfg = tiny_cfg(speed_norm=True, learn_bound=True, use_ioc=False,
                    use_scf=False)
