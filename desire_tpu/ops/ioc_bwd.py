@@ -176,8 +176,11 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             return tx, ty, dtx, dty
 
         def _expand(narrow, mat):
+            # f32 accumulator (Mosaic rejects bf16 acc on real TPU), cast
+            # back to cd so the wide products stay packed
             return jnp.dot(narrow.astype(cd), mat,
-                           preferred_element_type=cd, precision=precision)
+                           preferred_element_type=jnp.float32,
+                           precision=precision).astype(cd)
 
         def scene_hot(xT, yT):
             tx, ty, _, _ = _tents(xT, yT)

@@ -156,10 +156,15 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
             ys = jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)
             tx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - ncol))   # (rows, G)
             ty = jnp.maximum(0.0, 1.0 - jnp.abs(ys - ncol))
+            # Mosaic requires a 32-bit matmul accumulator (bf16 acc fails
+            # verification on real TPU); accumulate f32, cast the expanded
+            # tents back to cd so the wide (rows, G^2) multiply runs packed
             hot = (jnp.dot(tx.astype(cd), exp_x,
-                           preferred_element_type=cd, precision=precision)
+                           preferred_element_type=jnp.float32,
+                           precision=precision).astype(cd)
                    * jnp.dot(ty.astype(cd), exp_y,
-                             preferred_element_type=cd, precision=precision))
+                             preferred_element_type=jnp.float32,
+                             precision=precision).astype(cd))
             return _mm(hot, fmap, cd, precision)          # (rows, C)
     else:
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, g2), 1)
