@@ -93,6 +93,15 @@ class DesireConfig:
     use_scf: bool = True         # scene-context fusion (occupancy-grid scene CNN + pooling)
     scene_grid: int = 32         # scene feature grid resolution
     scene_channels: int = 32     # scene feature channels
+    scene_image_channels: int = 0  # optional per-scene imagery channels
+    #                              concatenated into the occupancy raster
+    #                              (models/scf.py: the paper's scene CNN
+    #                              pools camera-image features; the checked-
+    #                              in SDD layout ships no imagery, so the
+    #                              default raster is occupancy-only; with a
+    #                              (B, G, G, Ci) image passed to
+    #                              desire_forward(scene_image=...) the scene
+    #                              CNN consumes occupancy + imagery)
     use_social: bool = True      # social (neighbor) pooling inside SCF
 
     # ---- loss weights ----
@@ -261,8 +270,13 @@ class DesireConfig:
     #                              for a fused-fwd + XLA-recompute-bwd
     #                              hybrid (rejected), 275 ms/step for the
     #                              full Pallas fwd+bwd even while sharing
-    #                              the chip with a training run. Single-
-    #                              device only; meshes keep the XLA path
+    #                              the chip with a training run. Under a
+    #                              mesh the trainable pair runs per-shard
+    #                              via shard_map with param-grad psums
+    #                              (ops/ioc_fused.py
+    #                              make_trainable_fused_ioc_sharded);
+    #                              requires B % mesh_data == 0 and
+    #                              K % mesh_k == 0, else the XLA path runs
     remat: bool = False          # jax.checkpoint the lane-parallel memory
     #                              hogs — each IOC iteration (its (B,K*T,A,A)
     #                              social-attention activations) and the

@@ -231,7 +231,7 @@ def ranking_quality(scores, pred, gt, step_mask, agent_mask):
 # honest one, not just that its mean is close)
 # ---------------------------------------------------------------------------
 
-def pit_values(raw5, gt, step_mask, agent_mask):
+def pit_values(raw5, gt, step_mask, agent_mask, sigma_temp=1.0):
     """Probability-integral-transform of the ground truth under the K-lane
     Gaussian mixture, per coordinate.
 
@@ -240,10 +240,17 @@ def pit_values(raw5, gt, step_mask, agent_mask):
     is u = mean_k Phi((x - mu_kx)/sx_k) (same for y). If the predictive
     distribution is calibrated, u is Uniform(0,1) over held-out data.
 
+    sigma_temp scales the predicted sigmas (post-hoc temperature: a scalar
+    fit on a train-video validation slice corrects the mild over-dispersion
+    the raw heads show held-out — see sampler.fit_sigma_temperature).
+
     raw5 (B, A, K, T, 5); gt (B, A, T, 2); step_mask (B, A, T);
     agent_mask (B, A). Returns (u (B,A,T,2), weights (B,A,T)).
     """
     mux, muy, sx, sy, _ = losses.get_coef(raw5.astype(jnp.float32))
+    if sigma_temp != 1.0:
+        sx = sx * sigma_temp
+        sy = sy * sigma_temp
     gx = gt[..., None, :, 0]
     gy = gt[..., None, :, 1]
 

@@ -49,7 +49,7 @@ def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
 
 def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
                    calibration=False, pit_bins=20, rank_blend=0.0,
-                   z_temp_fast=1.0, z_temp_px=20.0):
+                   z_temp_fast=1.0, z_temp_px=20.0, sigma_temps=(1.0,)):
     """One jitted program: forward pass + EVERY per-batch eval metric.
 
     Through the remote-TPU tunnel each dispatch costs ~0.3 s; the previous
@@ -115,19 +115,76 @@ def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
             ba, bf, _ = M.per_agent_horizon(best, gt, sm, hs, scale=scale)
             res[f"h{i}"] = (ha, hf, ba, bf, cov)
         if calibration:
-            u, w = M.pit_values(out["raw5"], gt, sm, live)
-            res["pit_hist"] = M.pit_histogram(u, w, pit_bins)
-            w2 = jnp.broadcast_to(w[..., None], w.shape + (2,))
-            cov_sums = {}
-            for lv in (0.5, 0.9):
-                lo, hi = (1 - lv) / 2, (1 + lv) / 2
-                inside = jnp.logical_and(u >= lo, u <= hi)
-                cov_sums[lv] = jnp.sum(inside.astype(jnp.float32) * w2)
-            res["cov_50"] = cov_sums[0.5]
-            res["cov_90"] = cov_sums[0.9]
-            res["cov_w"] = jnp.sum(w2)
+            # per-sigma-temperature PIT stats (the extra temps are a cheap
+            # erf sweep next to the forward pass; used by the post-hoc
+            # temperature fit and the corrected-coverage report)
+            for j, tau in enumerate(sigma_temps):
+                u, w = M.pit_values(out["raw5"], gt, sm, live,
+                                    sigma_temp=tau)
+                suff = "" if j == 0 else f"_t{j}"
+                res[f"pit_hist{suff}"] = M.pit_histogram(u, w, pit_bins)
+                w2 = jnp.broadcast_to(w[..., None], w.shape + (2,))
+                for lv, name in ((0.5, "cov_50"), (0.9, "cov_90")):
+                    lo, hi = (1 - lv) / 2, (1 + lv) / 2
+                    inside = jnp.logical_and(u >= lo, u <= hi)
+                    res[f"{name}{suff}"] = jnp.sum(
+                        inside.astype(jnp.float32) * w2)
+                if j == 0:
+                    res["cov_w"] = jnp.sum(w2)  # weights are tau-independent
         return res
     return jax.jit(fn)
+
+
+# temperature grid for the post-hoc sigma fit: coverage@50 is monotone
+# increasing in tau, so a coarse grid + linear interpolation pins the root
+_FIT_TEMPS = (0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.15, 1.3, 1.5)
+
+
+def fit_sigma_temperature(params, cfg: DesireConfig, loader, *,
+                          max_batches=40, k_samples=None, key=None,
+                          temps=_FIT_TEMPS, target=0.5):
+    """Post-hoc scalar sigma-temperature fit (VERDICT r3 item 9).
+
+    Runs the model over a *train-split* validation slice, measures central
+    coverage@50 of the K-lane mixture at each temperature in `temps`, and
+    returns (tau, diagnostics) where tau is the linear-interpolated root of
+    coverage@50(tau) = target. Coverage is monotone increasing in tau
+    (larger sigma pulls PIT values toward 0.5), so the bracketing segment
+    is unique; tau is clipped to the grid ends if the target is outside.
+
+    The fitted tau is then applied to a held-out eval via
+    ``evaluate(..., sigma_temps=(1.0, tau))`` so the corrected coverage is
+    exact, not interpolated.
+    """
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed + 3)
+    step = make_eval_step(cfg, k_samples=k_samples, calibration=True,
+                          sigma_temps=tuple(temps))
+    cov = np.zeros(len(temps))
+    n = 0.0
+    for bi, batch in enumerate(loader.epoch_batches(0)):
+        if bi >= max_batches:
+            break
+        xy, mask, ids = batch_to_device(batch)
+        key, sub = jax.random.split(key)
+        res = jax.device_get(step(params, xy, mask, ids, sub,
+                                  jnp.asarray(batch.scale)))
+        for j in range(len(temps)):
+            suff = "" if j == 0 else f"_t{j}"
+            cov[j] += float(res[f"cov_50{suff}"])
+        n += float(res["cov_w"])
+    cov = cov / max(n, 1e-8)
+    # monotone root find by linear interpolation on the grid
+    if target <= cov[0]:
+        tau = temps[0]
+    elif target >= cov[-1]:
+        tau = temps[-1]
+    else:
+        j = int(np.searchsorted(cov, target)) - 1
+        f = (target - cov[j]) / max(cov[j + 1] - cov[j], 1e-8)
+        tau = temps[j] + f * (temps[j + 1] - temps[j])
+    return float(tau), {"temps": list(temps),
+                        "coverage_50": [float(c) for c in cov],
+                        "fit_weight": float(n)}
 
 
 def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
@@ -135,7 +192,7 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
              per_scene: bool = False, horizons=None,
              calibration: bool = False, speed_bins=None,
              rank_blend: float = 0.0, z_temp_fast: float = 1.0,
-             z_temp_px: float = 20.0) -> dict:
+             z_temp_px: float = 20.0, sigma_temps=(1.0,)) -> dict:
     """minADE/minFDE (pixels) over a loader's epoch stream.
 
     per_scene=True adds a per-scene breakdown keyed by scene name.
@@ -146,7 +203,10 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
     (north-star "match in distribution" evidence).
     speed_bins: optional ascending px/step boundaries (e.g. (2, 8, 20)) —
     adds an error breakdown by observed-speed class (slow walkers vs bikes;
-    the diagnostic axis for the bike-heavy deathCircle/little scenes)."""
+    the diagnostic axis for the bike-heavy deathCircle/little scenes).
+    sigma_temps: PIT sigma temperatures; index 0 must be 1.0 (the raw
+    report); a second entry (from fit_sigma_temperature on a train slice)
+    adds corrected `*_cal` calibration keys."""
     key = key if key is not None else jax.random.PRNGKey(cfg.seed + 1)
     acc: dict = {}
     # protocol rate: SDD annotations are ~30 fps; subsample strides to the
@@ -156,13 +216,16 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
                 if h * hz <= cfg.pred_len + 1e-6]
     hor_acc = {h: [0.0, 0.0, 0.0, 0.0, 0.0] for h in horizons}
     pit_bins = 20
-    cal_acc = {"hist": np.zeros(pit_bins), "cov_n": 0.0,
-               "cov": {0.5: 0.0, 0.9: 0.0}}
+    sigma_temps = tuple(sigma_temps)
+    nt = len(sigma_temps)
+    cal_acc = {"hist": [np.zeros(pit_bins) for _ in range(nt)],
+               "cov_n": 0.0,
+               "cov": [{0.5: 0.0, 0.9: 0.0} for _ in range(nt)]}
     step = make_eval_step(cfg, k_samples=k_samples,
                           horizon_steps=tuple(h * hz for h in horizons),
                           calibration=calibration, pit_bins=pit_bins,
                           rank_blend=rank_blend, z_temp_fast=z_temp_fast,
-                          z_temp_px=z_temp_px)
+                          z_temp_px=z_temp_px, sigma_temps=sigma_temps)
 
     dec_acc: dict = {}
 
@@ -228,9 +291,11 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
             d[3] += wsum(bf, sel)
             d[4] += float(np.sum(sel))
         if calibration:
-            cal_acc["hist"] += res["pit_hist"]
-            cal_acc["cov"][0.5] += float(res["cov_50"])
-            cal_acc["cov"][0.9] += float(res["cov_90"])
+            for j in range(nt):
+                suff = "" if j == 0 else f"_t{j}"
+                cal_acc["hist"][j] += res[f"pit_hist{suff}"]
+                cal_acc["cov"][j][0.5] += float(res[f"cov_50{suff}"])
+                cal_acc["cov"][j][0.9] += float(res[f"cov_90{suff}"])
             cal_acc["cov_n"] += float(res["cov_w"])
 
     def summarize(d, tag=None):
@@ -276,18 +341,32 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
                 "num_agents": w,
             }
     if calibration:
-        hist = cal_acc["hist"]
-        p = hist / max(hist.sum(), 1e-8)
-        # Kolmogorov distance of the PIT empirical CDF from Uniform(0,1)
-        ks = float(np.max(np.abs(np.cumsum(p) - np.linspace(
-            1.0 / pit_bins, 1.0, pit_bins))))
         n = max(cal_acc["cov_n"], 1e-8)
+
+        def cal_stats(j):
+            p = cal_acc["hist"][j] / max(cal_acc["hist"][j].sum(), 1e-8)
+            # Kolmogorov distance of the PIT empirical CDF from Uniform(0,1)
+            ks = float(np.max(np.abs(np.cumsum(p) - np.linspace(
+                1.0 / pit_bins, 1.0, pit_bins))))
+            return p, ks
+
+        p0, ks0 = cal_stats(0)
         result["calibration"] = {
-            "pit_ks": ks,
-            "coverage_50": cal_acc["cov"][0.5] / n,
-            "coverage_90": cal_acc["cov"][0.9] / n,
-            "pit_hist": [float(x) for x in p],
+            "pit_ks": ks0,
+            "coverage_50": cal_acc["cov"][0][0.5] / n,
+            "coverage_90": cal_acc["cov"][0][0.9] / n,
+            "pit_hist": [float(x) for x in p0],
         }
+        if nt > 1:
+            # corrected report at the post-hoc fitted temperature (exact —
+            # the step computed PIT at that tau, no interpolation)
+            p1, ks1 = cal_stats(1)
+            result["calibration"].update({
+                "sigma_temp": sigma_temps[1],
+                "pit_ks_cal": ks1,
+                "coverage_50_cal": cal_acc["cov"][1][0.5] / n,
+                "coverage_90_cal": cal_acc["cov"][1][0.9] / n,
+            })
     return result
 
 

@@ -50,11 +50,15 @@ def split_batch(cfg: DesireConfig, xy, mask):
 
 
 def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
-                   k_samples=None, train=True, z_temp=None):
+                   k_samples=None, train=True, z_temp=None,
+                   scene_image=None):
     """End-to-end forward. Returns a dict of all stage outputs.
 
     z_temp: optional (B, A) per-agent latent sampling temperature
-    (inference-only eval knob; see sgm_forward)."""
+    (inference-only eval knob; see sgm_forward).
+    scene_image: optional (B, G, G, cfg.scene_image_channels) imagery
+    raster for the scene CNN (models/scf.py); zeros when the config
+    declares imagery channels but the batch carries none."""
     K = k_samples or cfg.num_samples
     # geometry (positions, masks, targets) stays f32 — bf16 quantizes [0,1]
     # coords by ~1-4 px at SDD scale, biasing both training targets and the
@@ -99,10 +103,15 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
 
     if cfg.use_ioc:
         if cfg.use_scf:
+            if cfg.scene_image_channels and scene_image is None:
+                scene_image = jnp.zeros(
+                    (b, cfg.scene_grid, cfg.scene_grid,
+                     cfg.scene_image_channels), jnp.float32)
             feat_map = scf_mod.scene_feature_map(
                 params["scf"], jnp.swapaxes(obs_xy, 1, 2),
                 jnp.swapaxes(obs_mask, 1, 2), cfg.scene_grid,
-                compute_dtype=cfg.compute_dtype)
+                compute_dtype=cfg.compute_dtype,
+                image=scene_image if cfg.scene_image_channels else None)
         else:
             # use_scf=False with IOC on: rank/refine from dynamics + social
             # context only — a zero scene map keeps the fusion layout stable
@@ -111,14 +120,15 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
             feat_map = jnp.zeros(
                 (b, cfg.scene_grid, cfg.scene_grid, cfg.scene_channels), cd)
         meshed = cfg.mesh_data * cfg.mesh_k > 1
+        divisible = b % cfg.mesh_data == 0 and K % cfg.mesh_k == 0
         fused_train_ok = (train and cfg.fused_train and ops.use_pallas(cfg)
-                          and cfg.use_social and not meshed)
+                          and cfg.use_social
+                          and (not meshed or divisible))
         fused_ok = (not train and ops.use_pallas(cfg) and cfg.use_social
                     # under a mesh the kernel must go through shard_map
                     # (XLA cannot partition a pallas_call); shard_map needs
                     # the batch/lane dims to divide the mesh axes
-                    and (not meshed or (b % cfg.mesh_data == 0
-                                        and K % cfg.mesh_k == 0)))
+                    and (not meshed or divisible))
         if fused_ok:
             # inference: the whole rank-refine loop as ONE fused Pallas
             # kernel — the IOC iterations are ~80% of the unfused program's
@@ -146,10 +156,18 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
             # training: fused Pallas forward AND fused Pallas backward
             # (ops/ioc_bwd.py: in-kernel recompute + reverse accumulation;
             # gradient-parity tested against the XLA path); per_iter comes
-            # out of the forward kernel for the deep-supervision reg loss
-            from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
-            refined, scores, iters = make_trainable_fused_ioc(
-                cfg, backward="pallas")(
+            # out of the forward kernel for the deep-supervision reg loss.
+            # Under a mesh the trainable pair goes through shard_map with
+            # param-grad psums over ICI (make_trainable_fused_ioc_sharded).
+            from desire_tpu.ops.ioc_fused import (
+                make_trainable_fused_ioc, make_trainable_fused_ioc_sharded)
+            if meshed:
+                from desire_tpu.parallel import mesh as mesh_mod
+                fused_fn = make_trainable_fused_ioc_sharded(
+                    cfg, mesh_mod.make_mesh(cfg.mesh_data, cfg.mesh_k))
+            else:
+                fused_fn = make_trainable_fused_ioc(cfg, backward="pallas")
+            refined, scores, iters = fused_fn(
                 params["ioc"], params["scf"], traj, dec_h, feat_map,
                 live, fut_mask)
             per_iter = list(iters)

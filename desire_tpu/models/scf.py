@@ -31,8 +31,9 @@ from desire_tpu.models import layers as L
 def init_scf(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
     ks = jax.random.split(key, 4)
     c = cfg.scene_channels
+    c_in = 2 + cfg.scene_image_channels   # occupancy planes (+ imagery)
     return {
-        "conv1": L.init_conv(ks[0], 3, 3, 2, c, dtype),
+        "conv1": L.init_conv(ks[0], 3, 3, c_in, c, dtype),
         "gn1": L.init_groupnorm(c, dtype),
         "conv2": L.init_conv(ks[1], 3, 3, c, c, dtype),
         "gn2": L.init_groupnorm(c, dtype),
@@ -72,14 +73,25 @@ def rasterize_occupancy(obs_xy, obs_mask, grid):
     return (flat / t).reshape(b, grid, grid, 2)
 
 
-def scene_feature_map(p, obs_xy, obs_mask, grid, compute_dtype="float32"):
-    """Occupancy raster -> CNN -> (B, G, G, C).
+def scene_feature_map(p, obs_xy, obs_mask, grid, compute_dtype="float32",
+                      image=None):
+    """Occupancy raster (+ optional imagery channels) -> CNN -> (B, G, G, C).
 
     Rasterization runs in the (f32) position dtype for exact splat weights;
     the CNN runs in compute_dtype (the raster values are O(1) occupancy
-    densities — bf16-safe)."""
+    densities — bf16-safe).
+
+    image: optional (B, G, G, Ci) per-scene raster (camera imagery resampled
+    to the feature grid; the paper's scene-CNN input) concatenated into the
+    occupancy channels — init_scf must have been built with
+    cfg.scene_image_channels == Ci."""
     raster = rasterize_occupancy(obs_xy.astype(jnp.float32),
                                  obs_mask.astype(jnp.float32), grid)
+    if image is not None:
+        assert image.shape[1:3] == raster.shape[1:3], (
+            f"scene image {image.shape} must match the {grid}x{grid} grid")
+        raster = jnp.concatenate(
+            [raster, image.astype(raster.dtype)], axis=-1)
     cd = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     raster = raster.astype(cd)
     h = jax.nn.relu(L.groupnorm(p["gn1"], L.conv2d(p["conv1"], raster)))

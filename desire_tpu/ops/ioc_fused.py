@@ -582,6 +582,127 @@ def make_trainable_fused_ioc(cfg, interpret=False, backward="xla"):
     return fn
 
 
+def make_trainable_fused_ioc_sharded(cfg, mesh, interpret=False):
+    """TRAINABLE fused rank-and-refine under a (data, k) mesh (VERDICT r3
+    item 4 — multi-chip training previously forfeited the measured 1.4x
+    fused-kernel win and fell back to XLA).
+
+    Same decomposition as ioc_refine_fused_sharded: every (batch row, lane)
+    is independent (the social attention is per-lane block-diagonal), so the
+    FORWARD needs no collectives — each device runs the Pallas kernel on its
+    (B/mesh_data, A, K/mesh_k) block. The BACKWARD runs the Pallas reverse
+    kernel (ops/ioc_bwd.py) per-shard, then reduces the per-shard PARAMETER
+    gradients with one psum over both mesh axes *inside* the shard_map
+    (riding ICI — exactly the all-reduce jit would emit for the XLA path),
+    while data gradients (d_traj, d_dec_h) stay sharded and d_feat_map
+    psums over the lane axis only (feat_map is data-sharded, every lane
+    shard contributes to it). Gradient parity vs the XLA path is tested
+    under an 8-device CPU mesh in interpret mode (tests/test_kernels.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from desire_tpu.models import ioc as ioc_mod
+    from desire_tpu.models import scf as scf_mod
+    from desire_tpu.parallel.mesh import DATA_AXIS, K_AXIS
+
+    num_refine = max(int(cfg.num_refine), 1)
+    delta_scale = ioc_mod._DELTA_SCALE
+    lane5 = P(DATA_AXIS, None, K_AXIS, None, None)     # (B, A, K, T, ·)
+    lane3 = P(DATA_AXIS, None, K_AXIS)                 # (B, A, K)
+    iters_spec = P(None, DATA_AXIS, None, K_AXIS, None, None)
+    data_only = P(DATA_AXIS)
+    both_axes = (DATA_AXIS, K_AXIS)
+
+    def rep(tree):
+        return jax.tree_util.tree_map(lambda _: P(), tree)
+
+    @jax.custom_vjp
+    def fn(p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask):
+        msg = scf_mod.social_messages(p_scf, dec_h)
+
+        def local_fwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
+                      fut_mask):
+            return ioc_refine_fused(
+                p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+                num_refine=num_refine, delta_scale=delta_scale,
+                interpret=interpret, collect_iters=True,
+                social_freeze=cfg.social_freeze)
+
+        refined, scores, iters = jax.shard_map(
+            local_fwd, mesh=mesh,
+            in_specs=(rep(p_ioc), rep(p_scf), lane5, lane5, lane5,
+                      data_only, data_only, data_only),
+            out_specs=(lane5, lane3, iters_spec),
+            check_vma=False)(p_ioc, p_scf, traj, dec_h, msg, feat_map,
+                             live, fut_mask)
+        # same dtype contract as make_trainable_fused_ioc: scores follow
+        # the compute dtype (custom_vjp checks cotangents against primals)
+        return refined, scores.astype(dec_h.dtype), iters
+
+    def fwd(*args):
+        out = fn(*args)
+        return out, (args, out[2])
+
+    def bwd(res, cts):
+        from desire_tpu.ops.ioc_bwd import ioc_refine_bwd
+        (p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask), iters = res
+        d_refined, d_scores, d_iters = cts
+        msg = scf_mod.social_messages(p_scf, dec_h)
+
+        def local_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
+                      fut_mask, iters, d_refined, d_scores, d_iters):
+            (d_traj, d_dec, d_msg, d_fmap, g_gru, g_heads,
+             d_ltau) = ioc_refine_bwd(
+                p_ioc, p_scf, traj.astype(jnp.float32), dec_h, msg,
+                feat_map, live, fut_mask, iters, d_refined, d_scores,
+                d_iters, num_refine=num_refine, delta_scale=delta_scale,
+                interpret=interpret, social_freeze=cfg.social_freeze)
+            # chain msg = dec_h @ W + b locally (same math as the
+            # single-device bwd_pallas in make_trainable_fused_ioc)
+            w_msg = p_scf["soc_msg"]["w"]
+            dm = d_msg.astype(jnp.float32)
+            d_dec_total = d_dec + jnp.einsum(
+                "...o,io->...i", dm,
+                w_msg.astype(jnp.float32)).astype(d_dec.dtype)
+            d_wmsg = jnp.einsum("baktd,bakto->do",
+                                dec_h.astype(jnp.float32), dm)
+            d_p_ioc = {
+                "gru": [dict(g_gru)],
+                "score": g_heads["score"],
+                "gate": g_heads["gate"],
+                "delta": g_heads["delta"],
+            }
+            d_p_scf = jax.tree_util.tree_map(jnp.zeros_like, p_scf)
+            d_p_scf["soc_msg"] = {
+                "w": d_wmsg.astype(w_msg.dtype),
+                "b": jnp.sum(dm, axis=(0, 1, 2, 3)).astype(w_msg.dtype)}
+            d_p_scf["soc_logtau"] = jnp.asarray(
+                d_ltau, p_scf["soc_logtau"].dtype).reshape(
+                p_scf["soc_logtau"].shape)
+            # parameter grads: one ICI all-reduce over both mesh axes;
+            # feat_map grads: lane shards sum into the data-sharded map
+            d_p_ioc, d_p_scf = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, both_axes), (d_p_ioc, d_p_scf))
+            d_fmap = jax.lax.psum(d_fmap, K_AXIS)
+            return (d_p_ioc, d_p_scf, d_traj.astype(traj.dtype),
+                    d_dec_total.astype(dec_h.dtype), d_fmap,
+                    jnp.zeros_like(live), jnp.zeros_like(fut_mask))
+
+        return jax.shard_map(
+            local_bwd, mesh=mesh,
+            in_specs=(rep(p_ioc), rep(p_scf), lane5, lane5, lane5,
+                      data_only, data_only, data_only, iters_spec,
+                      lane5, lane3, iters_spec),
+            out_specs=(rep(p_ioc), rep(p_scf), lane5, lane5, data_only,
+                       data_only, data_only),
+            check_vma=False)(p_ioc, p_scf, traj, dec_h, msg, feat_map,
+                             live, fut_mask, iters, d_refined, d_scores,
+                             d_iters)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def ioc_refine_fused_sharded(mesh, p_ioc, p_scf, traj, dec_h, msg, feat_map,
                              live, fut_mask, *, num_refine, delta_scale,
                              interpret=False, social_freeze=False):

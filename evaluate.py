@@ -72,6 +72,11 @@ def main(argv=None):
     parser.add_argument("--calibration", type=int, default=0,
                         help="add PIT/coverage calibration statistics of the "
                              "gaussian heads")
+    parser.add_argument("--calib_fit_batches", type=int, default=40,
+                        help="with --calibration: fit a post-hoc scalar "
+                             "sigma-temperature on this many TRAIN-split "
+                             "batches and report corrected coverage next to "
+                             "the raw numbers (0 disables the fit)")
     parser.add_argument("--speed_bins", type=str, default="",
                         help="comma-separated px/step boundaries (e.g. "
                              "'2,8,20') — adds an observed-speed-class error "
@@ -131,6 +136,21 @@ def main(argv=None):
     horizons = tuple(float(h) for h in args.horizons.split(",") if h.strip())
     speed_bins = tuple(float(s) for s in args.speed_bins.split(",")
                        if s.strip())
+
+    sigma_temps = (1.0,)
+    fit_diag = None
+    if args.calibration and args.calib_fit_batches > 0:
+        # post-hoc sigma-temperature: fit on a TRAIN-video validation slice
+        # (never the split being reported), then report exact corrected
+        # coverage at that tau next to the raw numbers
+        from desire_tpu.eval.sampler import fit_sigma_temperature
+        fit_split = "train" if cfg.holdout != "none" else None
+        fit_loader = loader if (split == fit_split) else SDDLoader(
+            cfg, split=fit_split, drop_remainder=False)
+        tau, fit_diag = fit_sigma_temperature(
+            params, cfg, fit_loader, max_batches=args.calib_fit_batches)
+        sigma_temps = (1.0, tau)
+
     result = evaluate(params, cfg, loader,
                       max_batches=args.max_eval_batches or None,
                       per_scene=bool(args.per_scene),
@@ -139,7 +159,10 @@ def main(argv=None):
                       speed_bins=speed_bins or None,
                       rank_blend=args.rank_blend,
                       z_temp_fast=args.z_temp_fast,
-                      z_temp_px=args.z_temp_px)
+                      z_temp_px=args.z_temp_px,
+                      sigma_temps=sigma_temps)
+    if fit_diag is not None:
+        result.setdefault("calibration", {})["sigma_fit"] = fit_diag
     if args.rank_blend:
         result["rank_blend"] = args.rank_blend
     if args.z_temp_fast != 1.0:

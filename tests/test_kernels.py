@@ -359,6 +359,46 @@ def test_trainable_fused_ioc_gradient_parity():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_trainable_fused_ioc_sharded_gradient_parity():
+    """make_trainable_fused_ioc_sharded under a real (data=2, k=2) CPU mesh:
+    value and EVERY gradient (params incl. the psum'd ICI all-reduces, data
+    cotangents) match the single-device XLA path — VERDICT r3 item 4 (fused
+    IOC training under the mesh)."""
+    from desire_tpu.models.ioc import ioc_forward
+    from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc_sharded
+    from desire_tpu.parallel import mesh as mesh_mod
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env(
+        b=4, a=5, k=4)
+    mesh = mesh_mod.make_mesh(2, 2)
+    fused = make_trainable_fused_ioc_sharded(cfg, mesh, interpret=True)
+    wts = jax.random.normal(jax.random.PRNGKey(9), live.shape + (4,))
+
+    def loss_fused(p_ioc, p_scf, traj, dec_h, feat_map):
+        refined, scores, iters = fused(p_ioc, p_scf, traj, dec_h,
+                                       feat_map, live, fut_mask)
+        return (jnp.sum(refined ** 2) + jnp.sum(scores * wts)
+                + jnp.sum(iters ** 2))
+
+    def loss_xla(p_ioc, p_scf, traj, dec_h, feat_map):
+        refined, scores, per_iter = ioc_forward(
+            p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+        return (jnp.sum(refined ** 2) + jnp.sum(scores * wts)
+                + jnp.sum(jnp.stack(per_iter) ** 2))
+
+    args = (p_ioc, p_scf, traj, dec_h, feat_map)
+    v_f, g_f = jax.jit(jax.value_and_grad(
+        loss_fused, argnums=(0, 1, 2, 3, 4)))(*args)
+    v_x, g_x = jax.value_and_grad(loss_xla, argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-4)
+    for path, a in jax.tree_util.tree_leaves_with_path(g_f):
+        b = {jax.tree_util.keystr(p): x
+             for p, x in jax.tree_util.tree_leaves_with_path(g_x)}[
+            jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 # ---------------------------------------------------------------------------
 # Fused SGM CVAE sampler kernel (ops/sgm_fused.py, north-star kernel (a))
 # ---------------------------------------------------------------------------
