@@ -212,6 +212,15 @@ class DesireConfig:
     #                              under-covers speed profiles, not
     #                              directions. 0 = off (exact pre-flag
     #                              behavior: the head init is zero)
+    pace_lanes: int = 0          # restrict the pace head to the LAST n
+    #                              hypothesis lanes (0 = all lanes, the
+    #                              original pace_range behavior). Round-3
+    #                              triage: full-lane pace improved bikes+
+    #                              and top-1 but cost ~1 px of oracle minADE
+    #                              (it spreads walker lanes too); a subset
+    #                              leaves K-n lanes untouched, bounding the
+    #                              oracle cost while keeping along-track
+    #                              coverage for fast agents
     cond_prior: bool = True      # conditional CVAE prior p(z|X): a zero-init
     #                              head on the past encoding emits
     #                              (mu_p, logvar_p); KLD pulls the posterior

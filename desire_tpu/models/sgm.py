@@ -338,6 +338,13 @@ def _lane_cv(p, cfg, cv_vel, dec_h):
     if "pace" in p:
         pace = 1.0 + cfg.pace_range * jnp.tanh(
             L.dense(p["pace"], dec_h[:, :, 0].astype(jnp.float32)))
+        if cfg.pace_lanes > 0:
+            # subset pace (config.py pace_lanes): only the last n lanes
+            # carry the spread; the rest keep the exact vanilla CV base
+            k = dec_h.shape[1]
+            lane_on = (jnp.arange(k) >= k - cfg.pace_lanes).astype(
+                pace.dtype)[None, :, None]
+            pace = 1.0 + (pace - 1.0) * lane_on
         cv_k = cv_k * pace                                    # (N, K, 2)
     return cv_k
 

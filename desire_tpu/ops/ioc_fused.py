@@ -97,12 +97,36 @@ def _mm(a, b, cd, precision):
 def _tent_mm_default():
     """Factorized scene-tent build switch (see scene_step in _kernel).
 
-    Env-overridable for on-chip A/B sweeps: DESIRE_TENT_MM=0/1."""
+    Env-overridable for on-chip A/B sweeps: DESIRE_TENT_MM=0/1.
+    Measured (r4 A/B, v5e, B=64 A=60 K=20): 79.0 ms fwd vs 59.2 ms for the
+    direct build — the one-hot expansion matmuls cost more than the wide
+    VPU passes they remove; stays off."""
     return os.environ.get("DESIRE_TENT_MM", "0") == "1"
 
 
+def _tent_bf16_default():
+    """Build the wide (rows, G^2) tent product in the compute dtype instead
+    of f32 (DESIRE_TENT_BF16=1): halves the dominant per-pass VPU element
+    passes when compute is bf16. Positions quantize to ~2^-9 of the grid
+    span (~3% worst-case tent-weight error feeding an already-bf16 matmul);
+    numerics-checked by A/B eval before any default flip."""
+    return os.environ.get("DESIRE_TENT_BF16", "0") == "1"
+
+
+def _ablate_default():
+    """BENCH-ONLY stage ablation (DESIRE_IOC_ABLATE=scene|social): skips
+    that stage's per-step work inside the kernel so its cost can be read
+    off the fwd time — the in-kernel decomposition a trace cannot see
+    (XLA shows one opaque custom call). CHANGES NUMERICS; never set for
+    training/eval."""
+    v = os.environ.get("DESIRE_IOC_ABLATE", "")
+    assert v in ("", "scene", "social"), v
+    return v
+
+
 def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
-            collect_iters=False, tent_mm=False, social_freeze=False):
+            collect_iters=False, tent_mm=False, tent_bf16=False,
+            ablate="", social_freeze=False):
     (tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
      wiv_ref, wis_ref, wio_ref, wid_ref, wh_ref, bi_ref, bh_ref,
      heads_w_ref, heads_b_ref, ltau_ref) = refs[:17]
@@ -167,16 +191,18 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
                              precision=precision).astype(cd))
             return _mm(hot, fmap, cd, precision)          # (rows, C)
     else:
+        tdt = cd if tent_bf16 else jnp.float32      # _tent_bf16_default
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, g2), 1)
-        col_y = (col // grid_g).astype(jnp.float32)
-        col_x = (col - (col // grid_g) * grid_g).astype(jnp.float32)
+        col_y = (col // grid_g).astype(tdt)
+        col_x = (col - (col // grid_g) * grid_g).astype(tdt)
+        one = jnp.ones((), tdt)
 
         def scene_step(xT, yT):
             """(rows, 1) position columns -> (rows, C) scene features."""
-            xs = jnp.clip(xT, 0.0, 1.0) * (grid_g - 1)
-            ys = jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)
-            hot = (jnp.maximum(0.0, 1.0 - jnp.abs(xs - col_x))
-                   * jnp.maximum(0.0, 1.0 - jnp.abs(ys - col_y)))
+            xs = (jnp.clip(xT, 0.0, 1.0) * (grid_g - 1)).astype(tdt)
+            ys = (jnp.clip(yT, 0.0, 1.0) * (grid_g - 1)).astype(tdt)
+            hot = (jnp.maximum(one * 0, one - jnp.abs(xs - col_x))
+                   * jnp.maximum(one * 0, one - jnp.abs(ys - col_y)))
             return _mm(hot, fmap, cd, precision)          # (rows, C)
 
     # block-diagonal attention mask over the flat (lane, agent) rows:
@@ -223,7 +249,9 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
             # cross-block weights are exactly 0 -> one matmul pools all lanes
             return _mm(w, mt, cd, precision)              # (rows, d)
 
-        if social_freeze:
+        if ablate == "social":                  # bench-only decomposition
+            soc_t = None
+        elif social_freeze:
             # attend ONCE at the pass-0 (initial SGM) positions; later
             # passes reuse the pooled block (config.py social_freeze)
             @pl.when(ip == 0)
@@ -235,11 +263,13 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
         tp = jnp.maximum(t - 1, 0)
         vx = jnp.swapaxes(x - x_scr[pl.ds(tp, 1)], 0, 1)  # (rows, 1); 0 @t=0
         vy = jnp.swapaxes(y - y_scr[pl.ds(tp, 1)], 0, 1)
-        gi_scr[pl.ds(t, 1)] = (
-            vx * wiv[0:1] + vy * wiv[1:2]
-            + _mm(scene_step(xT, yT), wis_ref[:], cd, precision)
-            + _mm(soc_t, wio_ref[:], cd, precision)
-            + gi_dec_scr[pl.ds(t, 1)][0])[None]
+        gi = (vx * wiv[0:1] + vy * wiv[1:2]
+              + gi_dec_scr[pl.ds(t, 1)][0])
+        if ablate != "scene":
+            gi = gi + _mm(scene_step(xT, yT), wis_ref[:], cd, precision)
+        if soc_t is not None:
+            gi = gi + _mm(soc_t, wio_ref[:], cd, precision)
+        gi_scr[pl.ds(t, 1)] = gi[None]
         return ip
 
     def gru_step(t, _):
@@ -404,7 +434,8 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
         _kernel, num_refine=int(num_refine),
         delta_scale=float(delta_scale), grid_g=int(g), cd=cd,
         a_dim=a, kc=kc, collect_iters=bool(collect_iters),
-        tent_mm=_tent_mm_default(), social_freeze=bool(social_freeze))
+        tent_mm=_tent_mm_default(), tent_bf16=_tent_bf16_default(),
+        ablate=_ablate_default(), social_freeze=bool(social_freeze))
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)

@@ -175,6 +175,34 @@ def test_pace_head_zero_init_parity_and_trains():
     assert np.abs(w).max() > 0
 
 
+def test_pace_lanes_subset():
+    """pace_lanes (config.py): with a NON-zero pace head, only the last n
+    lanes move off the vanilla composition — the first K-n lanes must stay
+    bitwise at the pace_range=0 trajectories (the oracle-cost bound the
+    subset exists for)."""
+    from desire_tpu.models import sgm
+    cfg = micro_cfg("unused", use_ioc=False, use_scf=False,
+                    pace_range=0.5, pace_lanes=2)
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    # force a non-trivial head so gated vs ungated lanes actually differ
+    params["sgm"]["pace"]["w"] = 0.5 * jax.random.normal(
+        jax.random.PRNGKey(3), params["sgm"]["pace"]["w"].shape)
+    cv = jnp.ones((4, 2))
+    dec_h = jax.random.normal(jax.random.PRNGKey(4),
+                              (4, cfg.num_samples, 3, cfg.d_dim))
+    cv_sub = sgm._lane_cv(params["sgm"], cfg, cv, dec_h)
+    cv_all = sgm._lane_cv(params["sgm"], cfg.replace(pace_lanes=0), cv,
+                          dec_h)
+    k = cfg.num_samples
+    # untouched lanes: exactly the vanilla CV base
+    np.testing.assert_array_equal(np.asarray(cv_sub[:, : k - 2]),
+                                  np.ones((4, k - 2, 2), np.float32))
+    # gated lanes: exactly the full-pace composition
+    np.testing.assert_array_equal(np.asarray(cv_sub[:, k - 2:]),
+                                  np.asarray(cv_all[:, k - 2:]))
+    assert float(np.abs(np.asarray(cv_all[:, : k - 2]) - 1.0).max()) > 1e-4
+
+
 class _TransientFaultLoader:
     """Wraps a loader; serves NaN-poisoned batches for one whole epoch, once
     (a transient fault — e.g. a bad host read or a device glitch)."""
