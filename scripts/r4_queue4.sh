@@ -32,6 +32,20 @@ for v in "DESIRE_IOC_ABLATE=scene" "DESIRE_IOC_ABLATE=social" \
       2>>/tmp/r4b_ab_err.log || echo '{"failed": true}' >> /tmp/r4b_ab.jsonl
 done
 
+# TRAIN-step trace (the r4 fwd trace landed; the backward's ~140 ms has
+# never been profiled — is it the bwd kernel or XLA glue?)
+timeout 900 python - > /tmp/r4b_train_profile.json 2>>/tmp/r4b_err.log <<'EOF' || true
+import json, sys
+sys.path.insert(0, '/root/repo')
+import jax, jax.profiler
+import bench
+bench._algo_cost = lambda *a: (0.0, 0.0)
+with jax.profiler.trace('/tmp/r4_profile_train'):
+    sps, dt, mfu, hbm = bench.bench_train(iters=6, warmup=2)
+print(json.dumps({"profiled_train_ms": round(dt*1e3, 1),
+                  "trace_dir": "/tmp/r4_profile_train"}))
+EOF
+
 # z_temp_fast sweep on the flagship best ckpt (eval-only; bikes-only knob)
 for zt in 1.0 1.3 1.6 2.0; do
   timeout $T python evaluate.py --save_dir "$CK" --data_dir "$D" \
@@ -39,6 +53,16 @@ for zt in 1.0 1.3 1.6 2.0; do
       --z_temp_fast $zt > "$CK/eval_ztemp_${zt}.json" \
       2>>/tmp/r4b_err.log || true
   tail -1 "$CK/eval_ztemp_${zt}.json"
+done
+
+# refinement-depth frontier: the flagship trains at num_refine=4; if
+# inference at 2-3 passes holds minADE, the fwd path sheds 2/5 - 1/5 of
+# the IOC kernel cost (explicit --num_refine overrides ckpt geometry)
+for nr in 2 3; do
+  timeout $T python evaluate.py --save_dir "$CK" --data_dir "$D" \
+      --batch_size 64 --num_samples 20 --best 1 --num_refine $nr \
+      > "$CK/eval_refine${nr}.json" 2>>/tmp/r4b_err.log || true
+  tail -1 "$CK/eval_refine${nr}.json"
 done
 
 # tent_bf16 numerics: same eval under the knob (diff vs eval_ztemp_1.0)
@@ -56,4 +80,9 @@ timeout $T python evaluate.py --save_dir save/r4_pacelanes --data_dir "$D" \
     --batch_size 64 --num_samples 20 --speed_bins 2,8,20 --per_scene 1 \
     > save/r4_pacelanes/eval_heldout_k20.json 2>>/tmp/r4b_err.log || true
 tail -1 save/r4_pacelanes/eval_heldout_k20.json
+
+# final single-tenant bench under the shipped defaults (RESULTS r4 row)
+bash scripts/r4_probe_wait.sh
+timeout $T python bench.py > /tmp/r4_bench_final.json 2>>/tmp/r4b_err.log || true
+cat /tmp/r4_bench_final.json
 echo R4_Q4_DONE
