@@ -117,7 +117,8 @@ GEOMETRY_FIELDS = (
     "channel_multiplier", "scene_grid", "scene_channels", "use_ioc",
     "use_scf", "use_social", "num_refine", "vel_scale", "speed_norm",
     "vel_gain", "vel_floor", "cond_prior", "learn_bound", "aniso_bound",
-    "vae_dec", "input_norm", "pace_range", "social_freeze",
+    "vae_dec", "input_norm", "pace_range", "pace_lanes", "social_freeze",
+    "scene_image_channels",
     "obs_len", "pred_len", "subsample", "max_num_obj", "protocol")
 
 
