@@ -270,6 +270,9 @@ def breakdown(iters=10, warmup=3):
             "mfu": round(flops / dt / PEAK_FLOPS, 4),
             "hbm_frac": round(nbytes / dt / PEAK_HBM_BPS, 3),
         })
+        # stdout (parseable JSONL) AND stderr (live progress) — the r3b
+        # queue lost its breakdown data to a stderr-only print (ADVICE r3)
+        print(json.dumps(rows[-1]), flush=True)
         print(json.dumps(rows[-1]), file=sys.stderr)
     return rows
 
