@@ -618,7 +618,7 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
     c = feat_map.shape[-1]
     gp = p_ioc["gru"][0]
     cd = dec_h.dtype
-    kc = _pick_chunk(k, a)
+    kc = _pick_chunk(k, a, social_freeze=social_freeze)
     chunks = k // kc
     rows = kc * a
     nr = int(num_refine)

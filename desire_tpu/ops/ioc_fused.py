@@ -349,16 +349,26 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
     out_sc_ref[0, 0] = scores
 
 
-def _pick_chunk(k, a_pad, max_rows=None):
+def _pick_chunk(k, a_pad, max_rows=None, social_freeze=False):
     """Largest divisor of K whose chunk keeps rows = KC*A_pad <= max_rows
     (VMEM budget: the (T, rows, 3d) gate scratch is the biggest buffer).
 
     max_rows is a perf lever, not just a memory cap: grid cells run
     SERIALLY on the v5e tensorcore, so bigger chunks mean fewer, larger
     matmuls (better MXU shapes) at the cost of VMEM. Overridable via
-    DESIRE_IOC_MAX_ROWS for on-chip sweeps."""
+    DESIRE_IOC_MAX_ROWS for on-chip sweeps.
+
+    social_freeze carries two extra frozen-attention operand blocks
+    (bf16 (T, rows, d) each) through the kernel; at rows=320 that puts
+    scoped VMEM 300K over the v5e 16M limit (measured: 16.30M at B=64
+    A=60 K=20 d=48). Default one divisor lower (256 rows) unless the
+    env knob explicitly overrides."""
     if max_rows is None:
         max_rows = int(os.environ.get("DESIRE_IOC_MAX_ROWS", 320))
+    if social_freeze:
+        # 320-row freeze kernels do not fit v5e scoped VMEM at all, so
+        # the clamp wins even over the env knob.
+        max_rows = min(max_rows, 256)
     best = 1
     for kc in range(1, k + 1):
         if k % kc == 0 and kc * a_pad <= max_rows:
@@ -396,7 +406,7 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     c = feat_map.shape[-1]
     gp = p_ioc["gru"][0]
     cd = dec_h.dtype
-    kc = _pick_chunk(k, a)
+    kc = _pick_chunk(k, a, social_freeze=social_freeze)
     chunks = k // kc
     rows = kc * a
     fmap_flat = feat_map.reshape(b, g * g, c)
