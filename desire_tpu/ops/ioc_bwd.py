@@ -618,7 +618,11 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
     c = feat_map.shape[-1]
     gp = p_ioc["gru"][0]
     cd = dec_h.dtype
-    kc = _pick_chunk(k, a, social_freeze=social_freeze)
+    # fused_loop=False: the freeze row clamp is about THIS kernel's VMEM
+    # budget (it stages every gate block for reverse accumulation — the
+    # forward's fused-loop scratch saving does not apply here). Chunk size
+    # is numbers-neutral and need not match the forward kernel's.
+    kc = _pick_chunk(k, a, social_freeze=social_freeze, fused_loop=False)
     chunks = k // kc
     rows = kc * a
     nr = int(num_refine)

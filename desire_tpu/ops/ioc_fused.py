@@ -113,6 +113,21 @@ def _tent_bf16_default():
     return os.environ.get("DESIRE_TENT_BF16", "0") == "1"
 
 
+def _fused_loop_default():
+    """Fuse the per-step feature build and the GRU update into ONE T-loop
+    (DESIRE_IOC_FUSED_LOOP=0 keeps the two-loop structure for A/B).
+
+    The input gates gi[t] have no dependence on the GRU state, so the
+    separate feat/gru loops are a historical artifact; on v5e the kernel
+    is dominated by serial per-iteration overhead (r4 row-cap sweep:
+    59/94/142 ms at 256/640/1280 grid cells — ~0.6 us fixed cost per
+    fori_loop step-iteration), and fusing drops iterations per grid cell
+    from 192 to 132 and frees the (T, rows, 3d) gi scratch (2.2 MB at
+    flagship shapes — headroom that should let social_freeze back to
+    320 rows once compile-probed; see _pick_chunk)."""
+    return os.environ.get("DESIRE_IOC_FUSED_LOOP", "1") == "1"
+
+
 def _ablate_default():
     """BENCH-ONLY stage ablation (DESIRE_IOC_ABLATE=scene|social): skips
     that stage's per-step work inside the kernel so its cost can be read
@@ -126,7 +141,7 @@ def _ablate_default():
 
 def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
             collect_iters=False, tent_mm=False, tent_bf16=False,
-            ablate="", social_freeze=False):
+            ablate="", social_freeze=False, fused_loop=True):
     (tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
      wiv_ref, wis_ref, wio_ref, wid_ref, wh_ref, bi_ref, bh_ref,
      heads_w_ref, heads_b_ref, ltau_ref) = refs[:17]
@@ -140,7 +155,11 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
     soc_scr = None
     if social_freeze:
         *scr, soc_scr = scr
-    (gi_scr, hs_scr, x_scr, y_scr, fmask_scr, h_scr, gi_dec_scr) = scr
+    gi_scr = None
+    if fused_loop:
+        (hs_scr, x_scr, y_scr, fmask_scr, h_scr, gi_dec_scr) = scr
+    else:
+        (gi_scr, hs_scr, x_scr, y_scr, fmask_scr, h_scr, gi_dec_scr) = scr
     t_len = fmask_ref.shape[1]
     rows = kc * a_dim                       # lanes-in-chunk x agents
     d = wh_ref.shape[0]
@@ -229,10 +248,10 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
                                    + bi)[None]
         return 0
 
-    def feat_step(t, ip):
+    def compute_gi(t, ip):
         """Per-step input gates for ALL kc lanes at once: block-diagonal
         social attention + tent-bilinear scene pooling + velocity block,
-        all projected and summed into gi_scr in-place. ip carries the
+        all projected and summed -> (rows, 3d). ip carries the
         refine-pass index (unchanged) for the social_freeze branch."""
         x = x_scr[pl.ds(t, 1)]                            # (1, rows)
         y = y_scr[pl.ds(t, 1)]
@@ -269,15 +288,13 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
             gi = gi + _mm(scene_step(xT, yT), wis_ref[:], cd, precision)
         if soc_t is not None:
             gi = gi + _mm(soc_t, wio_ref[:], cd, precision)
-        gi_scr[pl.ds(t, 1)] = gi[None]
-        return ip
+        return gi
 
-    def gru_step(t, _):
+    def gru_update(gi_t):
         # recurrent state via h_scr, not a fori carry (loop-carried vector
         # values interact badly with Mosaic's layout search)
         h = h_scr[:]
         gh = _mm(h, wh, cd, precision) + bh
-        gi_t = gi_scr[pl.ds(t, 1)][0]                     # (rows, 3d)
         i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = jax.nn.sigmoid(i_r + h_r)
@@ -285,14 +302,36 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
         n = jnp.tanh(i_n + r * h_n)
         h = (1.0 - z) * n + z * h
         h_scr[:] = h
-        hs_scr[pl.ds(t, 1)] = h[None]
-        return 0
+        return h
 
-    def fuse_and_gru(ip):
-        """One full pass at (x_scr, y_scr) positions -> hs_scr filled."""
-        jax.lax.fori_loop(0, t_len, feat_step, ip)
-        h_scr[:] = jnp.zeros((rows, d), jnp.float32)
-        jax.lax.fori_loop(0, t_len, gru_step, 0)
+    if fused_loop:
+        # gi[t] has no dependence on h, so the feat and GRU loops fuse
+        # into ONE T-loop per pass: ~31% fewer serial fori_loop step
+        # iterations per grid cell (the kernel's dominant cost on v5e —
+        # see _fused_loop_default) and no (T, rows, 3d) gi staging scratch
+        def fused_step(t, ip):
+            hs_scr[pl.ds(t, 1)] = gru_update(compute_gi(t, ip))[None]
+            return ip
+
+        def fuse_and_gru(ip):
+            """One full pass at (x_scr, y_scr) positions -> hs_scr filled."""
+            h_scr[:] = jnp.zeros((rows, d), jnp.float32)
+            jax.lax.fori_loop(0, t_len, fused_step, ip)
+    else:
+        def feat_step(t, ip):
+            gi_scr[pl.ds(t, 1)] = compute_gi(t, ip)[None]
+            return ip
+
+        def gru_step(t, _):
+            hs_scr[pl.ds(t, 1)] = gru_update(
+                gi_scr[pl.ds(t, 1)][0])[None]
+            return 0
+
+        def fuse_and_gru(ip):
+            """One full pass at (x_scr, y_scr) positions -> hs_scr filled."""
+            jax.lax.fori_loop(0, t_len, feat_step, ip)
+            h_scr[:] = jnp.zeros((rows, d), jnp.float32)
+            jax.lax.fori_loop(0, t_len, gru_step, 0)
 
     # heads packed (by the wrapper) into one (d, 4) matmul:
     # [score | gate | delta_x | delta_y], applied per step — the batched
@@ -349,7 +388,8 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
     out_sc_ref[0, 0] = scores
 
 
-def _pick_chunk(k, a_pad, max_rows=None, social_freeze=False):
+def _pick_chunk(k, a_pad, max_rows=None, social_freeze=False,
+                fused_loop=True):
     """Largest divisor of K whose chunk keeps rows = KC*A_pad <= max_rows
     (VMEM budget: the (T, rows, 3d) gate scratch is the biggest buffer).
 
@@ -360,14 +400,17 @@ def _pick_chunk(k, a_pad, max_rows=None, social_freeze=False):
 
     social_freeze carries two extra frozen-attention operand blocks
     (bf16 (T, rows, d) each) through the kernel; at rows=320 that puts
-    scoped VMEM 300K over the v5e 16M limit (measured: 16.30M at B=64
-    A=60 K=20 d=48). Default one divisor lower (256 rows) unless the
-    env knob explicitly overrides."""
+    the two-loop kernel's scoped VMEM 300K over the v5e 16M limit
+    (measured: 16.30M at B=64 A=60 K=20 d=48), so clamp one divisor
+    lower (256 rows). The fused loop frees the 2.2 MB (T, rows, 3d) gi
+    scratch — estimated ~14.1M for a 320-row fused freeze kernel — but
+    the clamp stays until an on-chip compile probe confirms it (an AOT
+    OOM killed a full training queue once already; fused_loop is
+    accepted for that future relaxation)."""
+    del fused_loop
     if max_rows is None:
         max_rows = int(os.environ.get("DESIRE_IOC_MAX_ROWS", 320))
     if social_freeze:
-        # 320-row freeze kernels do not fit v5e scoped VMEM at all, so
-        # the clamp wins even over the env knob.
         max_rows = min(max_rows, 256)
     best = 1
     for kc in range(1, k + 1):
@@ -406,7 +449,9 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     c = feat_map.shape[-1]
     gp = p_ioc["gru"][0]
     cd = dec_h.dtype
-    kc = _pick_chunk(k, a, social_freeze=social_freeze)
+    fused_loop = _fused_loop_default()
+    kc = _pick_chunk(k, a, social_freeze=social_freeze,
+                     fused_loop=fused_loop)
     chunks = k // kc
     rows = kc * a
     fmap_flat = feat_map.reshape(b, g * g, c)
@@ -445,7 +490,8 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
         delta_scale=float(delta_scale), grid_g=int(g), cd=cd,
         a_dim=a, kc=kc, collect_iters=bool(collect_iters),
         tent_mm=_tent_mm_default(), tent_bf16=_tent_bf16_default(),
-        ablate=_ablate_default(), social_freeze=bool(social_freeze))
+        ablate=_ablate_default(), social_freeze=bool(social_freeze),
+        fused_loop=fused_loop)
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -492,8 +538,9 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
             jax.ShapeDtypeStruct((b, chunks, t, rows), jnp.float32),
             jax.ShapeDtypeStruct((b, chunks, 1, rows), jnp.float32),
         ] + extra_out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((t, rows, 3 * d), jnp.float32),  # input gates
+        scratch_shapes=([] if fused_loop else [
+            pltpu.VMEM((t, rows, 3 * d), jnp.float32),  # staged input gates
+        ]) + [
             pltpu.VMEM((t, rows, d), jnp.float32),     # GRU hiddens
             pltpu.VMEM((t, rows), jnp.float32),        # x plane
             pltpu.VMEM((t, rows), jnp.float32),        # y plane

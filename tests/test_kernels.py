@@ -247,6 +247,32 @@ def test_fused_ioc_row_cap_env_override(monkeypatch):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("freeze", [False, True])
+def test_fused_ioc_single_loop_matches_two_loop(freeze, monkeypatch):
+    """DESIRE_IOC_FUSED_LOOP (one T-loop for feat build + GRU update vs the
+    staged two-loop structure) is a pure scheduling change: gi[t] has no
+    dependence on the GRU state, so the op sequence per element is
+    identical and the outputs must match bitwise — incl. per-iteration
+    collect and the social_freeze frozen-attention branch."""
+    from desire_tpu.models.ioc import _DELTA_SCALE
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    msg = scf.social_messages(p_scf, dec_h)
+
+    def run():
+        return ioc_refine_fused(
+            p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+            num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE,
+            interpret=True, collect_iters=True, social_freeze=freeze)
+
+    monkeypatch.setenv("DESIRE_IOC_FUSED_LOOP", "1")
+    fused = run()
+    monkeypatch.setenv("DESIRE_IOC_FUSED_LOOP", "0")
+    staged = run()
+    for a, b in zip(fused, staged):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_ioc_refinement_moves_and_masks():
     """Deltas respect the future mask (masked step -> no movement) and the
     loop actually refines (traj changes on unmasked steps)."""
