@@ -44,8 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from desire_tpu.ops.ioc_fused import (_pick_chunk, _precision_for,
-                                      _tent_mm_default)
+from desire_tpu.ops.ioc_fused import (_fused_loop_default, _pick_chunk,
+                                      _precision_for, _tent_mm_default)
 
 
 def _mmf(a, b, cd, precision):
@@ -80,7 +80,7 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             gir_s, giz_s, gin_s, hs_s, w_s, scene_s, soc_s, x_s, y_s,
             gx_s, gy_s, dh_s, h_s, dhseed_s, gdec_s, dsoc_r_s, dsoc_c_s,
             *, num_refine, delta_scale, grid_g, cd, a_dim, kc,
-            tent_mm=False, social_freeze=False):
+            tent_mm=False, social_freeze=False, fused_loop=True):
     t_len = fmask_ref.shape[1]
     rows = kc * a_dim
     d = whr_ref.shape[0]
@@ -275,11 +275,10 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
 
         x_s[:] = lx_ref[0, 0, pl.ds(p, 1)][0]
         y_s[:] = ly_ref[0, 0, pl.ds(p, 1)][0]
-        jax.lax.fori_loop(0, t_len, feat_step, 0)
-        h_s[:] = jnp.zeros((rows, d), f32)
-        jax.lax.fori_loop(0, t_len, gru_seq, 0)
 
-        # cotangent of level p+1 also includes d_iters[p] (only for p < R)
+        # cotangent of level p+1 also includes d_iters[p] (only for p < R).
+        # Hoisted above the recompute loops (it reads nothing they write):
+        # seed_step consumes gx_s/gy_s, so this must land first either way.
         @pl.when(p < num_refine)
         def _():
             gx_s[:] = gx_s[:] + gix_ref[0, 0, pl.ds(p, 1)][0]
@@ -337,7 +336,26 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
                                        + jnp.sum(d_out3, keepdims=True))
             return 0
 
-        jax.lax.fori_loop(0, t_len, seed_step, 0)
+        if fused_loop:
+            # gi[t]/hs[t]/seed[t] form a per-step chain with no cross-step
+            # dependence beyond the GRU carry, so the three forward loops
+            # fuse into ONE T-loop (same DESIRE_IOC_FUSED_LOOP knob as the
+            # forward kernel): 4 serial T-loops per pass drop to 2. All
+            # stores (gates, hs, seeds, head-grad accumulators) keep the
+            # same ascending-t order — bitwise-identical outputs.
+            def recompute_step(t, _):
+                feat_step(t, 0)
+                gru_seq(t, 0)
+                seed_step(t, 0)
+                return 0
+
+            h_s[:] = jnp.zeros((rows, d), f32)
+            jax.lax.fori_loop(0, t_len, recompute_step, 0)
+        else:
+            jax.lax.fori_loop(0, t_len, feat_step, 0)
+            h_s[:] = jnp.zeros((rows, d), f32)
+            jax.lax.fori_loop(0, t_len, gru_seq, 0)
+            jax.lax.fori_loop(0, t_len, seed_step, 0)
         dh_s[:] = jnp.zeros((rows, d), f32)
 
         def bwd_step(tt, _):
@@ -681,7 +699,8 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
     kernel = functools.partial(
         _kernel, num_refine=nr, delta_scale=float(delta_scale),
         grid_g=int(g), cd=cd, a_dim=a, kc=kc,
-        tent_mm=_tent_mm_default(), social_freeze=bool(social_freeze))
+        tent_mm=_tent_mm_default(), social_freeze=bool(social_freeze),
+        fused_loop=_fused_loop_default())
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)

@@ -237,6 +237,11 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
     bi = bi_ref[:].astype(jnp.float32)
     bh = bh_ref[:].astype(jnp.float32)
     wiv = wiv_ref[:].astype(jnp.float32)                  # (2, 3d)
+    # heads packed (by the wrapper) into one (d, 4) matmul:
+    # [score | gate | delta_x | delta_y], applied per step — the batched
+    # form's (P, 1) <-> (T, rows) column reshapes are lane<->sublane moves
+    heads_w = heads_w_ref[:]
+    heads_b = heads_b_ref[:].astype(jnp.float32)
 
     def dec_step(t, _):
         # iteration-invariant dec_h projection (+bias), one step at a time:
@@ -306,11 +311,28 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
 
     if fused_loop:
         # gi[t] has no dependence on h, so the feat and GRU loops fuse
-        # into ONE T-loop per pass: ~31% fewer serial fori_loop step
-        # iterations per grid cell (the kernel's dominant cost on v5e —
-        # see _fused_loop_default) and no (T, rows, 3d) gi staging scratch
+        # into ONE T-loop per pass (no (T, rows, 3d) gi staging scratch) —
+        # and two more T-loops fold into the same loop's first/last pass:
+        # the pass-invariant dec projection (write-then-read of
+        # gi_dec_scr[t] inside pass-0 iteration t, same pattern as the
+        # frozen-attention scratch) and the final re-score accumulation
+        # (psi[t] needs only hs[t], ascending-t f32 adds — identical
+        # accumulation order to the staged score loop). Per grid cell at
+        # flagship shapes that is 192 -> 108 serial step-iterations, the
+        # kernel's dominant cost on v5e (see _fused_loop_default).
         def fused_step(t, ip):
-            hs_scr[pl.ds(t, 1)] = gru_update(compute_gi(t, ip))[None]
+            @pl.when(ip == 0)
+            def _():
+                dec_step(t, 0)
+            h = gru_update(compute_gi(t, ip))
+            hs_scr[pl.ds(t, 1)] = h[None]
+
+            @pl.when(ip == num_refine)
+            def _():
+                out = _mm(h, heads_w, cd, precision) + heads_b  # (rows, 4)
+                psi = jnp.swapaxes(out[:, 0:1], 0, 1)           # (1, rows)
+                out_sc_ref[0, 0] = (out_sc_ref[0, 0]
+                                    + psi * fmask_scr[pl.ds(t, 1)])
             return ip
 
         def fuse_and_gru(ip):
@@ -333,12 +355,6 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
             h_scr[:] = jnp.zeros((rows, d), jnp.float32)
             jax.lax.fori_loop(0, t_len, gru_step, 0)
 
-    # heads packed (by the wrapper) into one (d, 4) matmul:
-    # [score | gate | delta_x | delta_y], applied per step — the batched
-    # form's (P, 1) <-> (T, rows) column reshapes are lane<->sublane moves
-    heads_w = heads_w_ref[:]
-    heads_b = heads_b_ref[:].astype(jnp.float32)
-
     def delta_step(t, _):
         out = _mm(hs_scr[pl.ds(t, 1)][0], heads_w, cd,
                   precision) + heads_b                    # (rows, 4)
@@ -359,7 +375,10 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
     x_scr[:] = tx_ref[0, 0].astype(jnp.float32)
     y_scr[:] = ty_ref[0, 0].astype(jnp.float32)
     fmask_scr[:] = fmask_ref[0].astype(jnp.float32)
-    jax.lax.fori_loop(0, t_len, dec_step, 0)
+    if fused_loop:
+        out_sc_ref[0, 0] = jnp.zeros((1, rows), jnp.float32)
+    else:
+        jax.lax.fori_loop(0, t_len, dec_step, 0)
 
     # num_refine+1 passes with ONE fuse_and_gru instantiation: the final
     # pass skips the delta application (= ioc_forward's re-score of the
@@ -380,12 +399,13 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
         return carry
 
     jax.lax.fori_loop(0, num_refine + 1, refine_iter, 0)
-    # hs_scr holds the final pass -> accumulate the scores from it
-    scores = jax.lax.fori_loop(0, t_len, score_step,
-                               jnp.zeros((1, rows), jnp.float32))
+    if not fused_loop:
+        # hs_scr holds the final pass -> accumulate the scores from it
+        # (the fused loop accumulated them in-pass instead)
+        out_sc_ref[0, 0] = jax.lax.fori_loop(
+            0, t_len, score_step, jnp.zeros((1, rows), jnp.float32))
     out_x_ref[0, 0] = x_scr[:]
     out_y_ref[0, 0] = y_scr[:]
-    out_sc_ref[0, 0] = scores
 
 
 def _pick_chunk(k, a_pad, max_rows=None, social_freeze=False,

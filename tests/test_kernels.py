@@ -596,3 +596,39 @@ def test_pallas_backward_ioc_parity_chunked(freeze):
                       jax.tree_util.tree_leaves(g_x)):
         np.testing.assert_allclose(np.asarray(af), np.asarray(ax),
                                    rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("freeze", [False, True])
+def test_pallas_backward_single_loop_matches_staged(freeze, monkeypatch):
+    """DESIRE_IOC_FUSED_LOOP in the BACKWARD kernel (feat+GRU+head-seed
+    recompute in one T-loop vs three staged loops) is pure scheduling:
+    every store keeps its ascending-t order, so all 7 cotangent groups
+    must match bitwise."""
+    from desire_tpu.models import scf as scf_mod
+    from desire_tpu.models.ioc import _DELTA_SCALE
+    from desire_tpu.ops.ioc_bwd import ioc_refine_bwd
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    msg = scf_mod.social_messages(p_scf, dec_h)
+    refined, scores, iters = ioc_refine_fused(
+        p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+        num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE,
+        interpret=True, collect_iters=True, social_freeze=freeze)
+    d_refined = jnp.ones_like(refined) * 0.3
+    d_scores = jnp.ones_like(scores)
+    d_iters = jnp.ones_like(iters) * 0.1
+
+    def run():
+        return ioc_refine_bwd(
+            p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+            iters, d_refined, d_scores, d_iters,
+            num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE,
+            interpret=True, social_freeze=freeze)
+
+    monkeypatch.setenv("DESIRE_IOC_FUSED_LOOP", "1")
+    fused = run()
+    monkeypatch.setenv("DESIRE_IOC_FUSED_LOOP", "0")
+    staged = run()
+    for af, ax in zip(jax.tree_util.tree_leaves(fused),
+                      jax.tree_util.tree_leaves(staged)):
+        np.testing.assert_array_equal(np.asarray(af), np.asarray(ax))
