@@ -108,6 +108,19 @@ class DesireConfig:
     w_nll: float = 1.0           # bivariate-Gaussian reconstruction NLL
     w_kld: float = 2.0           # CVAE KL divergence (headline recipe; 1.0
     #                              under-regularized the posterior at K=12)
+    w_prior_nll: float = 0.0     # prior-predictive coverage: best-of-the-
+    #                              prior-lanes NLL (min over the first
+    #                              round(K*prior_lane_frac) lanes only) —
+    #                              the train-time mirror of the INFERENCE
+    #                              objective, where every lane is a prior
+    #                              draw. The variety min-NLL almost never
+    #                              selects a prior lane (posterior lanes are
+    #                              future-conditioned and win the min) and
+    #                              the IOC CE stop-gradients trajectories, so
+    #                              without this term the prior head and the
+    #                              z_temp_learn temperature head receive
+    #                              almost no training signal. 0 = off;
+    #                              needs prior_lane_frac > 0 to do anything
     w_ce: float = 1.0            # IOC ranking cross-entropy
     w_reg: float = 1.0           # refinement regression
     w_delta: float = 0.5         # trust-region penalty on refinement deltas
@@ -221,6 +234,23 @@ class DesireConfig:
     #                              leaves K-n lanes untouched, bounding the
     #                              oracle cost while keeping along-track
     #                              coverage for fast agents
+    z_temp_learn: bool = False   # learned speed-conditioned latent
+    #                              temperature (VERDICT r3 item 5): a tiny
+    #                              zero-init MLP on the stop-gradient observed
+    #                              log-speed scales the latent noise on
+    #                              PRIOR-drawn lanes (z = mu_p + sigma_p *
+    #                              temp * eps) — train-time prior lanes (needs
+    #                              prior_lane_frac > 0 for any gradient) and
+    #                              every inference lane. Promotes the
+    #                              eval-only --z_temp_fast knob (hard 20 px/
+    #                              step threshold, hand-tuned scalar) into a
+    #                              trained smooth speed->spread map; the
+    #                              variety min-NLL + IOC CE supply the
+    #                              coverage gradient, so fast agents can buy
+    #                              along-track diversity while slow agents
+    #                              can SHRINK spread (the held-out 50%
+    #                              coverage is over-dispersed). Zero-init =
+    #                              temp exactly 1 (pre-flag behavior) at init
     cond_prior: bool = True      # conditional CVAE prior p(z|X): a zero-init
     #                              head on the past encoding emits
     #                              (mu_p, logvar_p); KLD pulls the posterior

@@ -268,6 +268,17 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
     total = cfg.w_nll * nll + w_kld * kld
     metrics = {"nll": nll, "kld": kld}
 
+    kp = int(round(K * cfg.prior_lane_frac))
+    if kp > 0 and cfg.w_prior_nll > 0:
+        # prior-predictive coverage (config.py w_prior_nll): best-of-the-
+        # kp-prior-lanes NLL. nll_per_lane is already computed for all K
+        # lanes, so the term costs one masked min. No variety subsetting —
+        # kp is small and this IS the diversity objective.
+        nll_prior = losses.masked_mean(
+            jnp.min(nll_per_lane[..., :kp], axis=-1), live)
+        total = total + cfg.w_prior_nll * nll_prior
+        metrics["prior_nll"] = nll_prior
+
     if cfg.use_ioc:
         scores = out["scores"].astype(f32)
         live_t = live.astype(f32)

@@ -112,6 +112,15 @@ def init_sgm(key, cfg: DesireConfig, dtype=jnp.float32) -> dict:
         # paths expose, so neither kernel changes
         p["pace"] = {"w": jnp.zeros((d, 1), dtype),
                      "b": jnp.zeros((1,), dtype)}
+    if cfg.z_temp_learn:
+        # learned latent-temperature head (config.py z_temp_learn):
+        # log1p(speed/floor) -> 8 -> log-temp, zero-init last layer so
+        # temp starts exactly 1.0. Keys are fold_in'd (not drawn from ks)
+        # so enabling the flag perturbs no other parameter's init.
+        p["ztemp_fc1"] = L.init_dense(jax.random.fold_in(key, 95), 1, 8,
+                                      dtype)
+        p["ztemp_fc2"] = {"w": jnp.zeros((8, 1), dtype),
+                          "b": jnp.zeros((1,), dtype)}
     if side == 32:
         # conv recognition network of the reference (model/model.py:471-492):
         # the fused 1024-vector reshaped to a 32x32 "image" and conv-encoded.
@@ -400,6 +409,25 @@ def _residual_envelope(p, cfg, rel_obs, obs_mask, cv_vel):
     return vel_bound, bound_c, jax.lax.stop_gradient(u)[:, None, :]
 
 
+def _learned_z_temp(p, cfg, rel_obs, obs_mask):
+    """Learned speed-conditioned latent temperature (config.py z_temp_learn).
+
+    A tiny MLP on the stop-gradient observed log-speed -> per-agent noise
+    temperature in [1/3, 3] (smooth tanh bound in log domain), shape
+    (N, 1, 1). Returns None when the head is absent. The head is trained
+    only through PRIOR-drawn lanes (sgm_forward), where extra spread is pure
+    hypothesis diversity — the posterior lanes and the NLL sigmas never see
+    it, so reconstruction and calibration terms cannot absorb it.
+    """
+    if "ztemp_fc1" not in p:
+        return None
+    s = jax.lax.stop_gradient(observed_speed(rel_obs, obs_mask))  # (N, 1)
+    f = jnp.log1p(s / cfg.vel_floor).astype(jnp.float32)
+    lt = L.dense(p["ztemp_fc2"], jnp.tanh(L.dense(p["ztemp_fc1"], f)))
+    cap = 1.0986123  # log 3
+    return jnp.exp(cap * jnp.tanh(lt / cap))[..., None]          # (N, 1, 1)
+
+
 def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
                 fut_mask=None, *, key, k_samples=None, train=True,
                 z_temp=None):
@@ -449,6 +477,13 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
 
     rho = temporal_features(p, enc_rel.astype(cd), obs_mask.astype(cd))
     rho_seed = jax.nn.relu(L.dense(p["rho_proj"], rho))          # (N, d)
+
+    # learned latent temperature (config.py z_temp_learn): at inference it
+    # composes multiplicatively with the manual --z_temp_fast knob; at train
+    # it scales only the prior-lane noise below
+    lt = _learned_z_temp(p, cfg, rel_obs, obs_mask)
+    if not train and lt is not None:
+        z_temp = lt if z_temp is None else z_temp * lt
 
     from desire_tpu import ops as ops_mod
     fused_infer = (not train and ops_mod.use_pallas(cfg)
@@ -527,11 +562,12 @@ def sgm_forward(p, cfg: DesireConfig, obs_xy, obs_mask, fut_xy=None,
             # the first kp lanes sample the PRIOR during training
             # (config.py prior_lane_frac): the IOC ranker and the variety
             # loss see inference-like lane diversity
+            eps_pr = eps if lt is None else eps * lt.astype(eps.dtype)
             if mu_p is not None:
                 z_pr = (mu_p[:, None]
-                        + jnp.exp(0.5 * logvar_p)[:, None] * eps)
+                        + jnp.exp(0.5 * logvar_p)[:, None] * eps_pr)
             else:
-                z_pr = eps
+                z_pr = eps_pr
             z = jnp.concatenate([z_pr[:, :kp], z[:, kp:]], axis=1)
     else:
         mu = logvar = None

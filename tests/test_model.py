@@ -163,6 +163,89 @@ def test_prior_lane_frac_lanes_ignore_the_future():
     assert not np.allclose(t1[:, kp:], t2[:, kp:])
 
 
+def test_z_temp_learn_identity_at_init_then_trains_and_spreads():
+    """z_temp_learn (config.py): the zero-init head makes temp exactly 1, so
+    flag-on forwards (train AND inference) are bit-identical to flag-off with
+    the same key; with prior_lane_frac > 0 the full loss gives the head a
+    nonzero gradient; a pushed-up head changes inference lanes (spread)."""
+    kw = dict(prior_lane_frac=0.5)
+    cfg_on, cfg_off = tiny_cfg(z_temp_learn=True, **kw), tiny_cfg(**kw)
+    p_on = sgm.init_sgm(jax.random.PRNGKey(0), cfg_on)
+    p_off = sgm.init_sgm(jax.random.PRNGKey(0), cfg_off)
+    assert "ztemp_fc1" in p_on
+    # fold_in'd head keys: every shared param must be identical
+    for k in p_off:
+        for a, b in zip(jax.tree_util.tree_leaves(p_on[k]),
+                        jax.tree_util.tree_leaves(p_off[k])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    n = 4
+    obs = jax.random.normal(jax.random.PRNGKey(1), (n, cfg_on.obs_len, 2)) * 0.1 + 0.5
+    fut = jax.random.normal(jax.random.PRNGKey(2), (n, cfg_on.pred_len, 2)) * 0.1 + 0.5
+    m_o, m_f = jnp.ones((n, cfg_on.obs_len)), jnp.ones((n, cfg_on.pred_len))
+    for branch_kw in (dict(fut_xy=fut, fut_mask=m_f, train=True),
+                      dict(train=False)):
+        t_on = sgm.sgm_forward(p_on, cfg_on, obs, m_o,
+                               key=jax.random.PRNGKey(3), **branch_kw)
+        t_off = sgm.sgm_forward(p_off, cfg_off, obs, m_o,
+                                key=jax.random.PRNGKey(3), **branch_kw)
+        np.testing.assert_array_equal(np.asarray(t_on["traj_mu"]),
+                                      np.asarray(t_off["traj_mu"]))
+    # gradient reaches the head through the variety NLL + IOC CE
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg_on)
+    xy = jax.random.uniform(jax.random.PRNGKey(2),
+                            (cfg_on.batch_size, cfg_on.total_len,
+                             cfg_on.max_num_obj, 2)) * 0.5 + 0.2
+    mask = jnp.ones(xy.shape[:3])
+    ids = jnp.arange(1, cfg_on.max_num_obj + 1,
+                     dtype=jnp.float32)[None].repeat(cfg_on.batch_size, 0)
+    (_, _), grads = jax.value_and_grad(
+        lambda p: desire.desire_loss(p, cfg_on, xy, mask, ids,
+                                     key=jax.random.PRNGKey(3), step=0),
+        has_aux=True)(params)
+    g = grads["sgm"]["ztemp_fc2"]["w"]
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+    # a pushed-up head actually spreads inference hypotheses
+    p_hot = dict(p_on, ztemp_fc2={"w": p_on["ztemp_fc2"]["w"],
+                                  "b": p_on["ztemp_fc2"]["b"] + 5.0})
+    t_init = sgm.sgm_forward(p_on, cfg_on, obs, m_o,
+                             key=jax.random.PRNGKey(3), train=False)["traj_mu"]
+    t_hot = sgm.sgm_forward(p_hot, cfg_on, obs, m_o,
+                            key=jax.random.PRNGKey(3), train=False)["traj_mu"]
+    sp = lambda t: float(np.mean(np.var(np.asarray(t), axis=1)))
+    assert sp(t_hot) > sp(t_init)
+
+
+def test_w_prior_nll_adds_exactly_the_coverage_term_and_trains_heads():
+    """w_prior_nll (config.py): best-of-prior-lanes NLL. With identical
+    params/key the flag-on total must exceed the flag-off total by exactly
+    w * prior_nll (pure additive term), and it must deliver gradient to both
+    the conditional-prior head and the z_temp_learn temperature head (the
+    variety min-NLL almost never selects prior lanes, so without this term
+    those heads starve)."""
+    mk = dict(z_temp_learn=True, prior_lane_frac=0.5)
+    cfg_on = tiny_cfg(w_prior_nll=0.5, **mk)
+    cfg_off = tiny_cfg(**mk)
+    params = desire.init_desire(jax.random.PRNGKey(0), cfg_on)
+    xy = jax.random.uniform(jax.random.PRNGKey(2),
+                            (cfg_on.batch_size, cfg_on.total_len,
+                             cfg_on.max_num_obj, 2)) * 0.5 + 0.2
+    mask = jnp.ones(xy.shape[:3])
+    ids = jnp.arange(1, cfg_on.max_num_obj + 1,
+                     dtype=jnp.float32)[None].repeat(cfg_on.batch_size, 0)
+    key = jax.random.PRNGKey(3)
+    (t_on, m_on), grads = jax.value_and_grad(
+        lambda p: desire.desire_loss(p, cfg_on, xy, mask, ids, key=key,
+                                     step=0), has_aux=True)(params)
+    t_off, m_off = desire.desire_loss(params, cfg_off, xy, mask, ids,
+                                      key=key, step=0)
+    assert "prior_nll" in m_on and "prior_nll" not in m_off
+    np.testing.assert_allclose(float(t_on - t_off),
+                               0.5 * float(m_on["prior_nll"]), rtol=1e-4)
+    for head in ("prior", "ztemp_fc2"):
+        g = np.asarray(grads["sgm"][head]["w"])
+        assert np.isfinite(g).all() and np.abs(g).max() > 0, head
+
+
 def test_vae_mlp_geometry_for_nonstandard_rnn_size():
     """rnn_size != 512 (any 2*rnn_size perfect square) must work end to end —
     the conv-VAE arithmetic only closes at vae side 32, so other sizes take
