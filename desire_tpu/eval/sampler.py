@@ -136,8 +136,10 @@ def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
 
 
 # temperature grid for the post-hoc sigma fit: coverage@50 is monotone
-# increasing in tau, so a coarse grid + linear interpolation pins the root
-_FIT_TEMPS = (0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.15, 1.3, 1.5)
+# increasing in tau, so a coarse grid + linear interpolation pins the root.
+# Extends to 0.3 because the r4 flagship's fit hit the old 0.5 lower edge
+# (fit-slice coverage 0.534 at tau=0.5, target 0.5 below it) and clamped.
+_FIT_TEMPS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.15, 1.3, 1.5)
 
 
 def fit_sigma_temperature(params, cfg: DesireConfig, loader, *,

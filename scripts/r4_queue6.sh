@@ -66,6 +66,16 @@ for v in 1 0; do
       >> /tmp/r4_fusedloop_ab.jsonl 2>>/tmp/r4_q6_err.log \
       || echo '{"failed": true}' >> /tmp/r4_fusedloop_ab.jsonl
 done
+# the fused loop freed the 2.2M gi scratch; the row-cap sweep showed time
+# tracks GRID-CELL count (~90us/cell) — probe whether bigger chunks now
+# fit: rows=640 (kc=10, 128 cells) and rows=1280 (kc=20, 64 cells)
+for r in 640 1280; do
+  echo "{\"DESIRE_IOC_MAX_ROWS\": \"$r\", \"snippet\": \"fwd\"}" \
+      >> /tmp/r4_fusedloop_ab.jsonl
+  timeout $T env DESIRE_IOC_MAX_ROWS=$r python -c "$FWD" \
+      >> /tmp/r4_fusedloop_ab.jsonl 2>>/tmp/r4_q6_err.log \
+      || echo '{"failed": true}' >> /tmp/r4_fusedloop_ab.jsonl
+done
 cat /tmp/r4_fusedloop_ab.jsonl
 
 bash scripts/r4_probe_wait.sh

@@ -14,6 +14,15 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 D=/root/reference/data
 T=1500
 
+# calibration re-fit on the extended temperature grid (the first fit hit
+# the old 0.5 lower edge and clamped; VERDICT item 9 wants held-out
+# coverage@50 within +-0.05)
+bash scripts/r4_probe_wait.sh
+timeout $T python evaluate.py --save_dir save/r4_flagship --data_dir "$D" \
+    --batch_size 64 --num_samples 20 --best 1 --calibration 1 \
+    > save/r4_flagship/eval_best_k20_cal2.json 2>>/tmp/r4_q7_err.log || true
+tail -1 save/r4_flagship/eval_best_k20_cal2.json
+
 for v in a b; do
   if [ "$v" = a ]; then
     FLAGS="--z_temp_learn 1 --prior_lane_frac 0.3 --w_prior_nll 0.5"

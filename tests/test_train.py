@@ -495,8 +495,9 @@ def test_sigma_temperature_fit_and_corrected_coverage(env):
     from desire_tpu.eval.sampler import fit_sigma_temperature
     cfg, loader = env["cfg"], env["loader"]
     params = init_desire(jax.random.PRNGKey(0), cfg)
+    from desire_tpu.eval.sampler import _FIT_TEMPS
     tau, diag = fit_sigma_temperature(params, cfg, loader, max_batches=2)
-    assert 0.5 <= tau <= 1.5
+    assert _FIT_TEMPS[0] <= tau <= _FIT_TEMPS[-1]
     cov_grid = np.asarray(diag["coverage_50"])
     assert np.all(np.diff(cov_grid) >= -1e-6)  # coverage monotone in tau
     res = evaluate(params, cfg, loader, max_batches=2, calibration=True,
