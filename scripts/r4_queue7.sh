@@ -23,6 +23,18 @@ timeout $T python evaluate.py --save_dir save/r4_flagship --data_dir "$D" \
     > save/r4_flagship/eval_best_k20_cal2.json 2>>/tmp/r4_q7_err.log || true
 tail -1 save/r4_flagship/eval_best_k20_cal2.json
 
+# eval-time rank_blend sweep on the flagship best ckpt: the defaults
+# retrain improved the oracle but top-1 regressed 29.5 -> 32.2 px;
+# blending the IOC score rank with lane likelihood is the cheap lever
+for rb in 0.3 0.6; do
+  bash scripts/r4_probe_wait.sh
+  timeout $T python evaluate.py --save_dir save/r4_flagship --data_dir "$D" \
+      --batch_size 64 --num_samples 20 --best 1 --rank_blend $rb \
+      > "save/r4_flagship/eval_best_k20_rb$rb.json" \
+      2>>/tmp/r4_q7_err.log || true
+  tail -1 "save/r4_flagship/eval_best_k20_rb$rb.json"
+done
+
 for v in a b; do
   if [ "$v" = a ]; then
     FLAGS="--z_temp_learn 1 --prior_lane_frac 0.3 --w_prior_nll 0.5"
