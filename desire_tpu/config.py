@@ -199,14 +199,17 @@ class DesireConfig:
     #                              ONCE from the initial (SGM) positions and
     #                              reuse them across all refinement passes,
     #                              instead of re-attending at the refined
-    #                              positions each pass. Refinement deltas are
-    #                              tanh-bounded (ioc.py _DELTA_SCALE), so the
-    #                              distance-kernel weights barely move; the
-    #                              per-pass (rows, rows) masked softmax is
-    #                              the dominant VPU cost of a fused-IOC pass
-    #                              once the scene tents are factorized. Off
-    #                              by default pending a held-out accuracy
-    #                              A/B (it changes inference semantics).
+    #                              positions each pass (deltas are tanh-
+    #                              bounded, so the distance-kernel weights
+    #                              barely move). DECIDED round 4 (held-out
+    #                              40-epoch freeze-trained triage): oracle
+    #                              minADE 16.63 vs 16.18 control but top-1
+    #                              27.35 vs 32.20 and rank-corr 0.35 vs
+    #                              0.28 — the pace_lanes trade. fwd speed
+    #                              is neutral post-VMEM-clamp (61.6 vs
+    #                              60.1 ms; the freeze operands force a
+    #                              256-row chunk). Stays a ranking-first
+    #                              OPT-IN, not the default.
     speed_aug: float = 0.0       # train-time global window-zoom augmentation
     #                              (trainer.py step_fn): per window, scale all
     #                              agents around the scene center by
