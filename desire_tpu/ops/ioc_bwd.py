@@ -640,7 +640,7 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
     # budget (it stages every gate block for reverse accumulation — the
     # forward's fused-loop scratch saving does not apply here). Chunk size
     # is numbers-neutral and need not match the forward kernel's.
-    kc = _pick_chunk(k, a, social_freeze=social_freeze, fused_loop=False)
+    kc = _pick_chunk(k, a, social_freeze=social_freeze, conservative=True)
     chunks = k // kc
     rows = kc * a
     nr = int(num_refine)

@@ -114,17 +114,19 @@ def _tent_bf16_default():
 
 
 def _fused_loop_default():
-    """Fuse the per-step feature build and the GRU update into ONE T-loop
-    (DESIRE_IOC_FUSED_LOOP=0 keeps the two-loop structure for A/B).
+    """Fuse the per-step feature build, GRU update, pass-0 dec projection
+    and final-pass score accumulation into ONE T-loop, in the forward AND
+    the backward recompute (DESIRE_IOC_FUSED_LOOP=0 keeps the staged
+    multi-loop structure for A/B; both directions are bitwise-identical,
+    parity-tested).
 
-    The input gates gi[t] have no dependence on the GRU state, so the
-    separate feat/gru loops are a historical artifact; on v5e the kernel
-    is dominated by serial per-iteration overhead (r4 row-cap sweep:
-    59/94/142 ms at 256/640/1280 grid cells — ~0.6 us fixed cost per
-    fori_loop step-iteration), and fusing drops iterations per grid cell
-    from 192 to 132 and frees the (T, rows, 3d) gi scratch (2.2 MB at
-    flagship shapes — headroom that should let social_freeze back to
-    320 rows once compile-probed; see _pick_chunk)."""
+    Measured (r4 on-chip A/B, v5e, B=64 A=60 K=20): fwd 60.5 vs 59.5 ms
+    staged (within noise — per-iteration LOOP overhead is NOT the
+    kernel's cost; per-cell time is bound by the op dependency chain),
+    but TRAIN 227.8 vs 235.1 ms/step — the backward's single recompute
+    loop and the freed (T, rows, 3d) gi scratch win 7 ms. The freed
+    scratch also lets the social_freeze inference forward back to 320
+    rows (probed; see _pick_chunk). Default stays on."""
     return os.environ.get("DESIRE_IOC_FUSED_LOOP", "1") == "1"
 
 
@@ -409,28 +411,30 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
 
 
 def _pick_chunk(k, a_pad, max_rows=None, social_freeze=False,
-                fused_loop=True):
+                fused_loop=True, conservative=False):
     """Largest divisor of K whose chunk keeps rows = KC*A_pad <= max_rows
     (VMEM budget: the (T, rows, 3d) gate scratch is the biggest buffer).
 
     max_rows is a perf lever, not just a memory cap: grid cells run
     SERIALLY on the v5e tensorcore, so bigger chunks mean fewer, larger
     matmuls (better MXU shapes) at the cost of VMEM. Overridable via
-    DESIRE_IOC_MAX_ROWS for on-chip sweeps.
+    DESIRE_IOC_MAX_ROWS for on-chip sweeps; the r4 sweep measured
+    59/94/142 ms fwd at 320/128/64 rows, and 640/1280-row probes AOT-OOM
+    (19.2M/23.4M scoped vs the v5e 16M limit) — 320 is the frontier.
 
     social_freeze carries two extra frozen-attention operand blocks
-    (bf16 (T, rows, d) each) through the kernel; at rows=320 that puts
-    the two-loop kernel's scoped VMEM 300K over the v5e 16M limit
-    (measured: 16.30M at B=64 A=60 K=20 d=48), so clamp one divisor
-    lower (256 rows). The fused loop frees the 2.2 MB (T, rows, 3d) gi
-    scratch — estimated ~14.1M for a 320-row fused freeze kernel — but
-    the clamp stays until an on-chip compile probe confirms it (an AOT
-    OOM killed a full training queue once already; fused_loop is
-    accepted for that future relaxation)."""
-    del fused_loop
+    (bf16 (T, rows, d) each) through the kernel; at rows=320 that put
+    the staged-loop kernel's scoped VMEM 300K over the limit (measured
+    16.30M at B=64 A=60 K=20 d=48), hence the 256-row clamp. The fused
+    loop frees the 2.2 MB (T, rows, 3d) gi scratch and the r4 on-chip
+    probe CONFIRMED the 320-row fused freeze INFERENCE forward compiles,
+    so the clamp now applies only to the unprobed configurations
+    (conservative=True): the staged loop, the backward kernel, and the
+    collect_iters training forward — their extra buffers could tip the
+    margin, and an AOT OOM killed a full training queue once already."""
     if max_rows is None:
         max_rows = int(os.environ.get("DESIRE_IOC_MAX_ROWS", 320))
-    if social_freeze:
+    if social_freeze and (conservative or not fused_loop):
         max_rows = min(max_rows, 256)
     best = 1
     for kc in range(1, k + 1):
@@ -471,7 +475,7 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     cd = dec_h.dtype
     fused_loop = _fused_loop_default()
     kc = _pick_chunk(k, a, social_freeze=social_freeze,
-                     fused_loop=fused_loop)
+                     fused_loop=fused_loop, conservative=collect_iters)
     chunks = k // kc
     rows = kc * a
     fmap_flat = feat_map.reshape(b, g * g, c)
