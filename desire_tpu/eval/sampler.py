@@ -137,9 +137,13 @@ def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
 
 # temperature grid for the post-hoc sigma fit: coverage@50 is monotone
 # increasing in tau, so a coarse grid + linear interpolation pins the root.
-# Extends to 0.3 because the r4 flagship's fit hit the old 0.5 lower edge
-# (fit-slice coverage 0.534 at tau=0.5, target 0.5 below it) and clamped.
-_FIT_TEMPS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.15, 1.3, 1.5)
+# Extends to 0.1: the r4 flagship's fit clamped at 0.5 and then at 0.3
+# (fit-slice coverage 0.534 / 0.516 at those edges, target 0.5 below) —
+# mixture coverage is dominated by BETWEEN-lane spread, so it flattens as
+# tau -> 0 toward a discrete-mixture floor near 0.51; the low grid points
+# let the fit land on (or honestly clamp at) that floor.
+_FIT_TEMPS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.15,
+              1.3, 1.5)
 
 
 def fit_sigma_temperature(params, cfg: DesireConfig, loader, *,
