@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from desire_tpu.ops.ioc_fused import (_fused_loop_default, _pick_chunk,
-                                      _precision_for, _tent_mm_default)
+                                      _precision_for, _social_band_default,
+                                      _tent_mm_default)
 
 
 def _mmf(a, b, cd, precision):
@@ -79,8 +80,9 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             dbi_ref, dbh_ref, dhw_ref, dhb_ref, dltau_ref,
             gir_s, giz_s, gin_s, hs_s, w_s, scene_s, soc_s, x_s, y_s,
             gx_s, gy_s, dh_s, h_s, dhseed_s, gdec_s, dsoc_r_s, dsoc_c_s,
+            xb_s, yb_s, d2b_s,
             *, num_refine, delta_scale, grid_g, cd, a_dim, kc,
-            tent_mm=False, social_freeze=False, fused_loop=True):
+            tent_mm=False, social_freeze=False, fused_loop=True, band=False):
     t_len = fmask_ref.shape[1]
     rows = kc * a_dim
     d = whr_ref.shape[0]
@@ -114,9 +116,38 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
 
     r_id = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
     c_id = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    excl = ((r_id // a_dim) != (c_id // a_dim)) | (r_id == c_id) | (live <= 0)
-    nb_ok = (jnp.sum(jnp.where(excl, 0.0, 1.0), axis=-1,
-                     keepdims=True) > 0).astype(f32)      # (rows, 1)
+    if band:
+        # banded-attention constants (ioc_fused._social_band_default):
+        # softmax + its adjoint run on (rows, A); (rows, rows) appears
+        # only inside MXU matmuls (pool, d_w, and the block-sum selects)
+        bsel = ((r_id // a_dim) == (c_id // a_dim)).astype(f32)
+        rb = jax.lax.broadcasted_iota(jnp.int32, (rows, a_dim), 0)
+        jb = jax.lax.broadcasted_iota(jnp.int32, (rows, a_dim), 1)
+        selfb = (rb - (rb // a_dim) * a_dim) == jb        # (rows, A) bool
+        gt = selfb.astype(f32)
+        ja = jax.lax.broadcasted_iota(jnp.int32, (a_dim, rows), 0)
+        ca = jax.lax.broadcasted_iota(jnp.int32, (a_dim, rows), 1)
+        gexp = ((ca - (ca // a_dim) * a_dim) == ja).astype(cd)  # (A, rows)
+
+        def _sel(m):
+            """Block-sum select: out[r, j] = sum over rows r' of blk(r) of
+            m[r', j] (exact copies when m has one nonzero per block-col)."""
+            return jnp.dot(bsel, m, preferred_element_type=f32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        liveband = _sel(jnp.swapaxes(live, 0, 1) * gt)    # (rows, A)
+        excl = selfb | (liveband <= 0)                    # band-shaped
+        nb_ok = (jnp.sum(jnp.where(excl, 0.0, 1.0), axis=-1,
+                         keepdims=True) > 0).astype(f32)
+
+        def band_pick(m):
+            """(rows, A) -> (rows, 1): row r picks its own column r%A."""
+            return jnp.sum(m * gt, axis=-1, keepdims=True)
+    else:
+        excl = ((r_id // a_dim) != (c_id // a_dim)) | (r_id == c_id) | (
+            live <= 0)
+        nb_ok = (jnp.sum(jnp.where(excl, 0.0, 1.0), axis=-1,
+                         keepdims=True) > 0).astype(f32)      # (rows, 1)
 
     hw = hw_ref[:].astype(f32)                            # (d, 4)
     def hb(i):
@@ -218,13 +249,28 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
         y = y_s[pl.ds(t, 1)]
         xT = jnp.swapaxes(x, 0, 1)
         yT = jnp.swapaxes(y, 0, 1)
+        mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
+        if band:
+            xb = _sel(xT * gt)                            # (rows, A)
+            yb = _sel(yT * gt)
+            sqb = xb * xb + yb * yb
+            gramb = xT * xb + yT * yb
+            d2 = (xT * xT + yT * yT) + sqb - 2.0 * gramb
+            logits = jnp.where(excl, -1e9, -d2 / tau)
+            w = jax.nn.softmax(logits, axis=-1) * nb_ok   # (rows, A)
+            w_s[pl.ds(t, 1)] = w[None]
+            xb_s[pl.ds(t, 1)] = xb[None]
+            yb_s[pl.ds(t, 1)] = yb[None]
+            d2b_s[pl.ds(t, 1)] = d2[None]
+            wf = _mmf(w, gexp, cd, precision) * bsel      # (rows, rows)
+            soc_s[pl.ds(t, 1)] = _mmf(wf, mt, cd, precision)[None]
+            return 0
         sq = x * x + y * y
         gram = xT * x + yT * y
         d2 = jnp.swapaxes(sq, 0, 1) + sq - 2.0 * gram
         logits = jnp.where(excl, -1e9, -d2 / tau)
         w = jax.nn.softmax(logits, axis=-1) * nb_ok
         w_s[pl.ds(t, 1)] = w[None]
-        mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
         soc_s[pl.ds(t, 1)] = _mmf(w, mt, cd, precision)[None]
         return 0
 
@@ -474,6 +520,37 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
                                          + (d_soc * df)[None])
                 dsoc_c_s[pl.ds(t, 1)] = (dsoc_c_s[pl.ds(t, 1)]
                                          + (d_soc * zf)[None])
+            elif band:
+                # banded softmax adjoint: all wide VPU work on (rows, A);
+                # (rows, rows) only inside MXU matmuls (expand, d_w, _sel)
+                wf = _mmf(w_t, gexp, cd, precision) * bsel
+                dmsg_ref[0, 0, pl.ds(t, 1)] = (
+                    dmsg_ref[0, 0, pl.ds(t, 1)]
+                    + _contract_first(wf, d_soc, cd, precision)[None])
+                d_w = _contract_last(d_soc, mt, cd, precision)  # (rows,rows)
+                d_wb = jnp.dot(d_w * bsel, gt, preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
+                d_sm = d_wb * nb_ok                             # (rows, A)
+                row_dot = jnp.sum(d_sm * w_t, axis=-1, keepdims=True)
+                d_l = w_t * d_sm - w_t * row_dot
+                d_l = jnp.where(excl, 0.0, d_l)
+                d_d2 = -d_l / tau
+                d2v = d2b_s[pl.ds(t, 1)][0]
+                dltau_ref[0, 0, 0:1, 0:1] = dltau_ref[0, 0, 0:1, 0:1] + (
+                    jnp.sum(d_l * d2v, keepdims=True)[0:1, 0:1]
+                    / (tau * tau) * jnp.exp(ltau))
+                rs = jnp.sum(d_d2, axis=-1, keepdims=True)      # (rows, 1)
+                cs = band_pick(_sel(d_d2))
+                xb = xb_s[pl.ds(t, 1)][0]
+                yb = yb_s[pl.ds(t, 1)][0]
+                # (d_d2 + d_d2^T) @ pos, banded: row term is a masked row
+                # sum; the transposed term block-sums pos-weighted cotangents
+                mx = (jnp.sum(d_d2 * xb, axis=-1, keepdims=True)
+                      + band_pick(_sel(d_d2 * xT)))
+                my = (jnp.sum(d_d2 * yb, axis=-1, keepdims=True)
+                      + band_pick(_sel(d_d2 * yT)))
+                gpx = gpx + 2.0 * ((rs + cs) * xT - mx)
+                gpy = gpy + 2.0 * ((rs + cs) * yT - my)
             else:
                 dmsg_ref[0, 0, pl.ds(t, 1)] = (
                     dmsg_ref[0, 0, pl.ds(t, 1)]
@@ -567,6 +644,42 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
             dsr = dsoc_r_s[pl.ds(t, 1)][0]
             dsc = dsoc_c_s[pl.ds(t, 1)][0]
+            if band:
+                wf = _mmf(w_t, gexp, cd, precision) * bsel
+                dmsg_ref[0, 0, pl.ds(t, 1)] = (
+                    dmsg_ref[0, 0, pl.ds(t, 1)]
+                    + _contract_first(wf, dsr + dsc, cd, precision)[None])
+                d2v = d2b_s[pl.ds(t, 1)][0]                # (rows, A)
+
+                def softmax_adj(d_soc_in):
+                    d_w = _contract_last(d_soc_in, mt, cd, precision)
+                    d_wb = jnp.dot(d_w * bsel, gt,
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.HIGHEST)
+                    d_sm = d_wb * nb_ok
+                    row_dot = jnp.sum(d_sm * w_t, axis=-1, keepdims=True)
+                    return jnp.where(excl, 0.0, w_t * d_sm - w_t * row_dot)
+
+                d_l_all = softmax_adj(dsr + dsc)
+                dltau_ref[0, 0, 0:1, 0:1] = dltau_ref[0, 0, 0:1, 0:1] + (
+                    jnp.sum(d_l_all * d2v, keepdims=True)[0:1, 0:1]
+                    / (tau * tau) * jnp.exp(ltau))
+                d_d2 = -softmax_adj(dsr) / tau
+                rs = jnp.sum(d_d2, axis=-1, keepdims=True)
+                cs = band_pick(_sel(d_d2))
+                xb = xb_s[pl.ds(t, 1)][0]
+                yb = yb_s[pl.ds(t, 1)][0]
+                mx = (jnp.sum(d_d2 * xb, axis=-1, keepdims=True)
+                      + band_pick(_sel(d_d2 * xT)))
+                my = (jnp.sum(d_d2 * yb, axis=-1, keepdims=True)
+                      + band_pick(_sel(d_d2 * yT)))
+                gpx = 2.0 * ((rs + cs) * xT - mx)
+                gpy = 2.0 * ((rs + cs) * yT - my)
+                gx_s[pl.ds(t, 1)] = gx_s[pl.ds(t, 1)] + jnp.swapaxes(
+                    gpx, 0, 1)
+                gy_s[pl.ds(t, 1)] = gy_s[pl.ds(t, 1)] + jnp.swapaxes(
+                    gpy, 0, 1)
+                return 0
             dmsg_ref[0, 0, pl.ds(t, 1)] = (
                 dmsg_ref[0, 0, pl.ds(t, 1)]
                 + _contract_first(w_t, dsr + dsc, cd, precision)[None])
@@ -696,11 +809,12 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
     heads_b = jnp.concatenate(
         [p_ioc["score"]["b"], p_ioc["gate"]["b"], p_ioc["delta"]["b"]])
 
+    band = _social_band_default()
     kernel = functools.partial(
         _kernel, num_refine=nr, delta_scale=float(delta_scale),
         grid_g=int(g), cd=cd, a_dim=a, kc=kc,
         tent_mm=_tent_mm_default(), social_freeze=bool(social_freeze),
-        fused_loop=_fused_loop_default())
+        fused_loop=_fused_loop_default(), band=band)
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -772,7 +886,9 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
             pltpu.VMEM((t, rows, d), f32),                 # giz
             pltpu.VMEM((t, rows, d), f32),                 # gin
             pltpu.VMEM((t, rows, d), f32),                 # hs
-            pltpu.VMEM((t, rows, rows), f32),              # attention w
+            # attention w: banded (T, rows, A) under DESIRE_SOCIAL_BAND
+            # (5x smaller at flagship shapes), full (T, rows, rows) else
+            pltpu.VMEM((t, rows, a if band else rows), f32),
             pltpu.VMEM((t, rows, c), f32),                 # scene
             pltpu.VMEM((t, rows, d), f32),                 # social
             pltpu.VMEM((t, rows), f32),                    # x plane
@@ -787,6 +903,11 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
             # attention adjoint; dummy-sized when social_freeze is off
             pltpu.VMEM((t, rows, d) if social_freeze else (1, 8, 128), f32),
             pltpu.VMEM((t, rows, d) if social_freeze else (1, 8, 128), f32),
+            # banded-attention recompute planes (xband/yband/d2band) for
+            # the softmax adjoint; dummy-sized when band is off
+            pltpu.VMEM((t, rows, a) if band else (1, 8, 128), f32),
+            pltpu.VMEM((t, rows, a) if band else (1, 8, 128), f32),
+            pltpu.VMEM((t, rows, a) if band else (1, 8, 128), f32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),

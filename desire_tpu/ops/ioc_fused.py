@@ -113,6 +113,35 @@ def _tent_bf16_default():
     return os.environ.get("DESIRE_TENT_BF16", "0") == "1"
 
 
+def _social_band_default():
+    """Banded social attention (DESIRE_SOCIAL_BAND=1): every lane block's
+    row attends only to the A agents of its OWN block, so the wide
+    (rows, rows) distance/softmax work — ~12 ms of the 60 ms forward by
+    in-kernel ablation, the kernel's largest VPU stage — carries a kc x
+    redundancy (kc = lanes per chunk, 5 at flagship shapes). The band
+    form computes d2/softmax on (rows, A) instead:
+
+        xband[r, j] = x[blk(r)*A + j]   (exact f32 selection matmul:
+                                         block-select @ (xT * one-hot),
+                                         HIGHEST precision = bf16x3,
+                                         exact for 1.0-weight copies)
+        d2band      = |p_r - p_{blk(r),j}|^2        on (rows, A)
+        w           = softmax(-d2band/tau) * masks  on (rows, A)
+
+    and expands w back to the block-diagonal (rows, rows) matrix with one
+    constant one-hot matmul + mask multiply, so the message pooling stays
+    ONE MXU matmul with bitwise-identical accumulation (cross-block
+    weights are exact zeros, contributing exact-zero products). The
+    backward kernel mirrors the banding for the softmax adjoint and
+    shrinks its (T, rows, rows) attention scratch to (T, rows, A).
+    Numerics: the banded softmax sees the same non-excluded logits and
+    exp(-1e9 - max) underflows to exactly 0.0 in f32; the only delta vs
+    the full form is the softmax denominator's reduction-tree pairing
+    (A vs rows summands, the rest exact zeros) — ~1 ULP, parity-tested
+    at 1e-5/1e-6 in tests/test_kernels.py."""
+    return os.environ.get("DESIRE_SOCIAL_BAND", "0") == "1"
+
+
 def _fused_loop_default():
     """Fuse the per-step feature build, GRU update, pass-0 dec projection
     and final-pass score accumulation into ONE T-loop, in the forward AND
@@ -143,7 +172,7 @@ def _ablate_default():
 
 def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
             collect_iters=False, tent_mm=False, tent_bf16=False,
-            ablate="", social_freeze=False, fused_loop=True):
+            ablate="", social_freeze=False, fused_loop=True, band=False):
     (tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
      wiv_ref, wis_ref, wio_ref, wid_ref, wh_ref, bi_ref, bh_ref,
      heads_w_ref, heads_b_ref, ltau_ref) = refs[:17]
@@ -230,10 +259,33 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
     # attend only within the same lane block, never to self or dead agents
     r_id = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
     c_id = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    excl = ((r_id // a_dim) != (c_id // a_dim)) | (r_id == c_id) | (
-        live <= 0)                                        # (rows, rows)
-    nb_ok = (jnp.sum(jnp.where(excl, 0.0, 1.0), axis=-1,
-                     keepdims=True) > 0).astype(jnp.float32)   # (rows, 1)
+    if band:
+        # banded-attention constants (_social_band_default): per-cell
+        # one-time builds, amortized over every pass x step
+        bsel = ((r_id // a_dim) == (c_id // a_dim)).astype(jnp.float32)
+        rb = jax.lax.broadcasted_iota(jnp.int32, (rows, a_dim), 0)
+        jb = jax.lax.broadcasted_iota(jnp.int32, (rows, a_dim), 1)
+        selfb = (rb - (rb // a_dim) * a_dim) == jb        # (rows, A) bool
+        gt = selfb.astype(jnp.float32)                    # row->band one-hot
+        ja = jax.lax.broadcasted_iota(jnp.int32, (a_dim, rows), 0)
+        ca = jax.lax.broadcasted_iota(jnp.int32, (a_dim, rows), 1)
+        gexp = ((ca - (ca // a_dim) * a_dim) == ja).astype(cd)  # (A, rows)
+
+        def _sel(m):
+            """Exact banded selection: (rows, A)[r, j] = m-col of agent j in
+            blk(r). HIGHEST = bf16x3, exact for 1.0-weight copy sums."""
+            return jnp.dot(bsel, m, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        liveband = _sel(jnp.swapaxes(live, 0, 1) * gt)    # (rows, A)
+        exclband = selfb | (liveband <= 0)
+        nb_ok = (jnp.sum(jnp.where(exclband, 0.0, 1.0), axis=-1,
+                         keepdims=True) > 0).astype(jnp.float32)
+    else:
+        excl = ((r_id // a_dim) != (c_id // a_dim)) | (r_id == c_id) | (
+            live <= 0)                                        # (rows, rows)
+        nb_ok = (jnp.sum(jnp.where(excl, 0.0, 1.0), axis=-1,
+                         keepdims=True) > 0).astype(jnp.float32)   # (rows, 1)
 
     wh = wh_ref[:]
     bi = bi_ref[:].astype(jnp.float32)
@@ -266,12 +318,24 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
         yT = jnp.swapaxes(y, 0, 1)
 
         def attend():
+            mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(jnp.float32)
+            if band:
+                # narrow (rows, A) distance/softmax + one-hot re-expansion
+                # (bitwise-equal to the full form — _social_band_default)
+                xb = _sel(xT * gt)                        # (rows, A)
+                yb = _sel(yT * gt)
+                sqb = xb * xb + yb * yb
+                gramb = xT * xb + yT * yb
+                d2 = (xT * xT + yT * yT) + sqb - 2.0 * gramb
+                logits = jnp.where(exclband, -1e9, -d2 / tau)
+                w = jax.nn.softmax(logits, axis=-1) * nb_ok   # (rows, A)
+                wf = _mm(w, gexp, cd, precision) * bsel   # (rows, rows)
+                return _mm(wf, mt, cd, precision)         # (rows, d)
             sq = x * x + y * y                            # (1, rows)
             gram = xT * x + yT * y                        # (rows, rows)
             d2 = jnp.swapaxes(sq, 0, 1) + sq - 2.0 * gram
             logits = jnp.where(excl, -1e9, -d2 / tau)
             w = jax.nn.softmax(logits, axis=-1) * nb_ok
-            mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(jnp.float32)
             # cross-block weights are exactly 0 -> one matmul pools all lanes
             return _mm(w, mt, cd, precision)              # (rows, d)
 
@@ -515,7 +579,7 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
         a_dim=a, kc=kc, collect_iters=bool(collect_iters),
         tent_mm=_tent_mm_default(), tent_bf16=_tent_bf16_default(),
         ablate=_ablate_default(), social_freeze=bool(social_freeze),
-        fused_loop=fused_loop)
+        fused_loop=fused_loop, band=_social_band_default())
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)

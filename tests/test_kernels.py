@@ -632,3 +632,73 @@ def test_pallas_backward_single_loop_matches_staged(freeze, monkeypatch):
     for af, ax in zip(jax.tree_util.tree_leaves(fused),
                       jax.tree_util.tree_leaves(staged)):
         np.testing.assert_array_equal(np.asarray(af), np.asarray(ax))
+
+
+@pytest.mark.parametrize("freeze", [False, True])
+def test_fused_ioc_social_band_matches_full(freeze, monkeypatch):
+    """DESIRE_SOCIAL_BAND (banded social attention: (rows, A) distance/
+    softmax + exact one-hot re-expansion) must match the full (rows, rows)
+    form to ~1 ULP — the band sees the same non-excluded logits and
+    exp(-1e9) underflows to exact 0.0; the only difference is the softmax
+    denominator's reduction-tree pairing (400 vs 40 summands, the excluded
+    ones exactly 0.0)."""
+    from desire_tpu.models.ioc import _DELTA_SCALE
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env(
+        seed=2, b=1, a=33, k=10, t=4)
+    msg = scf.social_messages(p_scf, dec_h)
+
+    def run():
+        return ioc_refine_fused(
+            p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+            num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE,
+            interpret=True, social_freeze=freeze)
+
+    monkeypatch.setenv("DESIRE_SOCIAL_BAND", "0")
+    full_t, full_s = run()
+    monkeypatch.setenv("DESIRE_SOCIAL_BAND", "1")
+    band_t, band_s = run()
+    np.testing.assert_allclose(np.asarray(band_t), np.asarray(full_t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(band_s), np.asarray(full_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("freeze", [False, True])
+def test_pallas_backward_social_band_gradient_parity(freeze, monkeypatch):
+    """The banded softmax adjoint (DESIRE_SOCIAL_BAND=1 in ops/ioc_bwd.py:
+    (rows, A) adjoint algebra, block-sum selects instead of the (rows, rows)
+    transpose) must reproduce jax.grad of the XLA ioc_forward, with and
+    without the frozen social attention."""
+    from desire_tpu.models.ioc import ioc_forward
+    from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
+    monkeypatch.setenv("DESIRE_SOCIAL_BAND", "1")
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    if freeze:
+        cfg = cfg.replace(social_freeze=True)
+    fused = make_trainable_fused_ioc(cfg, interpret=True, backward="pallas")
+    wts = jax.random.normal(jax.random.PRNGKey(9), live.shape + (3,))
+
+    def loss_fused(p_ioc, p_scf, traj, dec_h, feat_map):
+        refined, scores, iters = fused(p_ioc, p_scf, traj, dec_h,
+                                       feat_map, live, fut_mask)
+        return (jnp.sum(refined ** 2) + jnp.sum(scores * wts)
+                + jnp.sum(iters ** 2) + jnp.sum(jnp.sin(refined)))
+
+    def loss_xla(p_ioc, p_scf, traj, dec_h, feat_map):
+        refined, scores, per_iter = ioc_forward(
+            p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+        return (jnp.sum(refined ** 2) + jnp.sum(scores * wts)
+                + jnp.sum(jnp.stack(per_iter) ** 2)
+                + jnp.sum(jnp.sin(refined)))
+
+    args = (p_ioc, p_scf, traj, dec_h, feat_map)
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(*args)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_f)
+    flat_x = jax.tree_util.tree_leaves(g_x)
+    assert len(flat_f) == len(flat_x)
+    for (path, af), ax in zip(flat_f, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(af), np.asarray(ax), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path))
