@@ -13,6 +13,12 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 D=/root/reference/data
 T=1500
 
+# optional pre-step: on-chip banded-social-attention A/B (quick, perf-only;
+# numerics-neutral so the retrain below does not depend on it)
+if [ -x scripts/r4_queue9pre.sh ]; then
+  bash scripts/r4_queue9pre.sh || true
+fi
+
 WINNER=$(python - <<'EOF'
 import json
 def ade(p):

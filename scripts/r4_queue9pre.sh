@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-4 queue 9 PRE-step (invoked by r4_queue9.sh before the flagship
+# retrain): on-chip A/B of the banded social attention
+# (DESIRE_SOCIAL_BAND — ops/ioc_fused.py _social_band_default). The band
+# form shrinks the kernel's largest VPU stage (in-kernel ablation: ~12 ms
+# of the 60 ms forward) kc-fold and the backward's attention scratch 5x.
+# Numerics-neutral (~1 ULP, parity-tested), so the A/B is pure perf and
+# the retrain that follows does not depend on its outcome.
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+T=1500
+
+FWD='import sys, json, os; sys.path.insert(0, "/root/repo")
+import bench
+bench._algo_cost = lambda *a: (0.0, 0.0)
+tps, dt, mfu, hbm = bench.bench(iters=8, warmup=3)
+print(json.dumps({"band": os.environ.get("DESIRE_SOCIAL_BAND", "0"),
+                  "fwd_ms": round(dt*1e3, 2), "traj_per_sec": round(tps)}))'
+TRAIN='import sys, json, os; sys.path.insert(0, "/root/repo")
+import bench
+bench._algo_cost = lambda *a: (0.0, 0.0)
+sps, dt, mfu, hbm = bench.bench_train(iters=6, warmup=2)
+print(json.dumps({"band": os.environ.get("DESIRE_SOCIAL_BAND", "0"),
+                  "train_step_ms": round(dt*1e3, 2)}))'
+
+for b in 0 1; do
+  bash scripts/r4_probe_wait.sh
+  timeout $T env DESIRE_SOCIAL_BAND=$b python -c "$FWD" \
+      | tee -a /tmp/r4_band_ab.json || true
+  bash scripts/r4_probe_wait.sh
+  timeout $T env DESIRE_SOCIAL_BAND=$b python -c "$TRAIN" \
+      | tee -a /tmp/r4_band_ab.json || true
+done
+echo R4_BAND_AB_DONE
