@@ -135,19 +135,24 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
             # HBM traffic (see ops/ioc_fused.py). num_refine clamps to >= 1
             # exactly like ioc_forward (ADVICE r2: the paths must agree at
             # num_refine=0).
-            from desire_tpu.ops.ioc_fused import (ioc_refine_fused,
+            from desire_tpu.ops.ioc_fused import (_msg_inkernel_default,
+                                                  ioc_refine_fused,
                                                   ioc_refine_fused_sharded)
-            msg = scf_mod.social_messages(params["scf"], dec_h)
             kw = dict(num_refine=max(cfg.num_refine, 1),
                       delta_scale=ioc_mod._DELTA_SCALE,
                       social_freeze=cfg.social_freeze)
             if meshed:
                 from desire_tpu.parallel import mesh as mesh_mod
+                msg = scf_mod.social_messages(params["scf"], dec_h)
                 refined, scores = ioc_refine_fused_sharded(
                     mesh_mod.make_mesh(cfg.mesh_data, cfg.mesh_k),
                     params["ioc"], params["scf"], traj, dec_h, msg,
                     feat_map, live, fut_mask, **kw)
             else:
+                # DESIRE_MSG_INKERNEL: msg=None -> the kernel projects the
+                # messages itself, deleting the XLA einsum + transpose
+                msg = (None if _msg_inkernel_default()
+                       else scf_mod.social_messages(params["scf"], dec_h))
                 refined, scores = ioc_refine_fused(
                     params["ioc"], params["scf"], traj, dec_h, msg,
                     feat_map, live, fut_mask, **kw)

@@ -142,6 +142,23 @@ def _social_band_default():
     return os.environ.get("DESIRE_SOCIAL_BAND", "0") == "1"
 
 
+def _msg_inkernel_default():
+    """Compute the social messages msg = dec_h @ W + b INSIDE the kernel
+    (DESIRE_MSG_INKERNEL=1, inference path only): msg is pass-invariant, so
+    pass 0 projects each step's dec tile into a (T, rows, d) VMEM scratch
+    (the same write-then-read-in-iteration pattern as the dec-gate
+    projection). This deletes the XLA-side social_messages einsum, the
+    agent-pad and the chunk-major transpose of the (B, A, K, T, d) msg
+    tensor — ~half of the ~8 ms of XLA glue around the kernel in the r4
+    device trace (docs/traces/r4_fwd_trace.json.gz). Numerics: the XLA
+    dense is a cd-output dot (f32 MXU accumulate, rounded to cd) + cd bias
+    — the kernel reproduces exactly that (f32 accumulate, cast, add).
+    Training keeps the explicit-msg path: the backward kernel consumes msg
+    as an operand and the soc_msg parameter gradients chain through the
+    XLA einsum either way."""
+    return os.environ.get("DESIRE_MSG_INKERNEL", "0") == "1"
+
+
 def _fused_loop_default():
     """Fuse the per-step feature build, GRU update, pass-0 dec projection
     and final-pass score accumulation into ONE T-loop, in the forward AND
@@ -172,17 +189,27 @@ def _ablate_default():
 
 def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
             collect_iters=False, tent_mm=False, tent_bf16=False,
-            ablate="", social_freeze=False, fused_loop=True, band=False):
+            ablate="", social_freeze=False, fused_loop=True, band=False,
+            msg_in=False):
     (tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
      wiv_ref, wis_ref, wio_ref, wid_ref, wh_ref, bi_ref, bh_ref,
      heads_w_ref, heads_b_ref, ltau_ref) = refs[:17]
+    # msg_in: the msg slot carries the (d, d) soc_msg WEIGHT instead of the
+    # precomputed (1, 1, T, rows, d) messages; the bias rides one slot later
+    base = 17
+    if msg_in:
+        bmsg_ref = refs[17]
+        base = 18
     n_out = 5 if collect_iters else 3
     if collect_iters:
         (out_x_ref, out_y_ref, out_sc_ref,
-         out_xi_ref, out_yi_ref) = refs[17:17 + n_out]
+         out_xi_ref, out_yi_ref) = refs[base:base + n_out]
     else:
-        out_x_ref, out_y_ref, out_sc_ref = refs[17:17 + n_out]
-    scr = refs[17 + n_out:]
+        out_x_ref, out_y_ref, out_sc_ref = refs[base:base + n_out]
+    scr = refs[base + n_out:]
+    msg_scr = None
+    if msg_in:
+        *scr, msg_scr = scr
     soc_scr = None
     if social_freeze:
         *scr, soc_scr = scr
@@ -305,6 +332,13 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
         dec_t = dec_ref[0, 0, pl.ds(t, 1)][0]             # (rows, d)
         gi_dec_scr[pl.ds(t, 1)] = (_mm(dec_t, wid_ref[:], cd, precision)
                                    + bi)[None]
+        if msg_in:
+            # pass-invariant social messages (see _msg_inkernel_default):
+            # reproduce the XLA dense exactly — f32 MXU accumulate rounded
+            # to the compute dtype, then a compute-dtype bias add
+            msg_scr[pl.ds(t, 1)] = (
+                _mm(dec_t, msg_ref[:], cd, precision).astype(cd)
+                + bmsg_ref[:].astype(cd))[None]
         return 0
 
     def compute_gi(t, ip):
@@ -318,7 +352,10 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
         yT = jnp.swapaxes(y, 0, 1)
 
         def attend():
-            mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(jnp.float32)
+            if msg_in:
+                mt = msg_scr[pl.ds(t, 1)][0].astype(jnp.float32)
+            else:
+                mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(jnp.float32)
             if band:
                 # narrow (rows, A) distance/softmax + one-hot re-expansion
                 # (bitwise-equal to the full form — _social_band_default)
@@ -514,12 +551,19 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
 
     traj (B, A, K, T, 2) f32; dec_h/msg (B, A, K, T, d) compute dtype;
     feat_map (B, G, G, C); live (B, A); fut_mask (B, A, T).
+    msg may be None (inference only): the kernel then computes the social
+    messages in-pass from dec_h and p_scf['soc_msg'] — see
+    _msg_inkernel_default for what that deletes from the XLA glue.
     Returns (refined_traj (B, A, K, T, 2) f32, scores (B, A, K) f32); with
     collect_iters also the per-iteration trajectories
     (num_refine, B, A, K, T, 2) — ioc_forward's per_iter list, stacked
     (the trainable path's deep-supervision targets).
     """
     b, a, k, t, _ = traj.shape
+    msg_in = msg is None
+    assert not (msg_in and collect_iters), (
+        "in-kernel msg is inference-only: the trainable path's backward "
+        "kernel consumes msg as an operand")
     # pad the agent axis to a sublane multiple (see module docstring)
     a_orig = a
     a_pad = max(-(-a // 8) * 8, 8)
@@ -528,7 +572,8 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
         pad[1] = (0, a_pad - a)
         traj = jnp.pad(traj, pad)
         dec_h = jnp.pad(dec_h, pad)
-        msg = jnp.pad(msg, pad)
+        if not msg_in:
+            msg = jnp.pad(msg, pad)
         live = jnp.pad(live, ((0, 0), (0, a_pad - a)))
         fut_mask = jnp.pad(fut_mask, ((0, 0), (0, a_pad - a), (0, 0)))
         a = a_pad
@@ -556,7 +601,12 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     tkta = to_chunk_major(traj.astype(jnp.float32))       # (B,Ch,T,rows,2)
     tx, ty = tkta[..., 0], tkta[..., 1]
     dec_cm = to_chunk_major(dec_h)
-    msg_cm = to_chunk_major(msg)
+    if msg_in:
+        # the msg input slot carries the soc_msg weight; bias rides behind
+        msg_op = p_scf["soc_msg"]["w"]                    # (d, d)
+        bmsg_op = p_scf["soc_msg"]["b"][None]             # (1, d)
+    else:
+        msg_op = to_chunk_major(msg)
     # per-row masks, tiled across the KC lanes of a chunk in XLA (the
     # kernel must not concatenate along lanes)
     live_t = jnp.tile(live, (1, kc))[:, None, :]          # (B, 1, rows)
@@ -579,7 +629,7 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
         a_dim=a, kc=kc, collect_iters=bool(collect_iters),
         tent_mm=_tent_mm_default(), tent_bf16=_tent_bf16_default(),
         ablate=_ablate_default(), social_freeze=bool(social_freeze),
-        fused_loop=fused_loop, band=_social_band_default())
+        fused_loop=fused_loop, band=_social_band_default(), msg_in=msg_in)
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -600,7 +650,9 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
             bk((1, 1, t, rows), plane),                      # traj x
             bk((1, 1, t, rows), plane),                      # traj y
             bk((1, 1, t, rows, d), block5),                  # dec_h
-            bk((1, 1, t, rows, d), block5),                  # msg
+            # msg slot: precomputed messages, or the soc_msg weight
+            (bk(None, None) if msg_in
+             else bk((1, 1, t, rows, d), block5)),
             bk((1, g * g, c), per_b),                        # feat_map
             bk((1, 1, rows), per_b),                         # live (tiled)
             bk((1, t, rows), per_b),                         # fut_mask
@@ -615,7 +667,7 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
             bk(None, None),                                  # heads_b
             pl.BlockSpec((1, 1), lambda bi, ci: (0, 0),
                          memory_space=pltpu.SMEM),           # log-tau
-        ],
+        ] + ([bk(None, None)] if msg_in else []),            # soc_msg bias
         out_specs=[
             bk((1, 1, t, rows), plane),
             bk((1, 1, t, rows), plane),
@@ -636,11 +688,14 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
             pltpu.VMEM((rows, d), jnp.float32),        # GRU state
             pltpu.VMEM((t, rows, 3 * d), jnp.float32),  # dec_h projection
         ] + ([pltpu.VMEM((t, rows, d), jnp.float32)]    # frozen social pool
-             if social_freeze else []),
+             if social_freeze else [])
+          + ([pltpu.VMEM((t, rows, d), cd)]             # in-kernel messages
+             if msg_in else []),
         interpret=interpret,
-    )(tx, ty, dec_cm, msg_cm, fmap_flat, live_t, fmask_t,
+    )(tx, ty, dec_cm, msg_op, fmap_flat, live_t, fmask_t,
       wi_v, wi_s, wi_o, wi_d, gp["wh"], gp["bi"], gp["bh"],
-      heads_w, heads_b, ltau)
+      heads_w, heads_b, ltau,
+      *([bmsg_op] if msg_in else []))
     out_x, out_y, scores = outs[:3]
 
     def from_chunk_major(arr):

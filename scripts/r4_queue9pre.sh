@@ -16,6 +16,7 @@ import bench
 bench._algo_cost = lambda *a: (0.0, 0.0)
 tps, dt, mfu, hbm = bench.bench(iters=8, warmup=3)
 print(json.dumps({"band": os.environ.get("DESIRE_SOCIAL_BAND", "0"),
+                  "msg_ink": os.environ.get("DESIRE_MSG_INKERNEL", "0"),
                   "fwd_ms": round(dt*1e3, 2), "traj_per_sec": round(tps)}))'
 TRAIN='import sys, json, os; sys.path.insert(0, "/root/repo")
 import bench
@@ -24,10 +25,15 @@ sps, dt, mfu, hbm = bench.bench_train(iters=6, warmup=2)
 print(json.dumps({"band": os.environ.get("DESIRE_SOCIAL_BAND", "0"),
                   "train_step_ms": round(dt*1e3, 2)}))'
 
-for b in 0 1; do
+# forward matrix: banded attention x in-kernel msg (both numerics-neutral)
+for combo in "0 0" "1 0" "0 1" "1 1"; do
+  set -- $combo
   bash scripts/r4_probe_wait.sh
-  timeout $T env DESIRE_SOCIAL_BAND=$b python -c "$FWD" \
-      | tee -a /tmp/r4_band_ab.json || true
+  timeout $T env DESIRE_SOCIAL_BAND=$1 DESIRE_MSG_INKERNEL=$2 \
+      python -c "$FWD" | tee -a /tmp/r4_band_ab.json || true
+done
+# train step: banded attention (msg stays explicit on the trainable path)
+for b in 0 1; do
   bash scripts/r4_probe_wait.sh
   timeout $T env DESIRE_SOCIAL_BAND=$b python -c "$TRAIN" \
       | tee -a /tmp/r4_band_ab.json || true

@@ -702,3 +702,31 @@ def test_pallas_backward_social_band_gradient_parity(freeze, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(af), np.asarray(ax), rtol=2e-3, atol=2e-4,
             err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("freeze,band", [(False, "0"), (True, "0"),
+                                         (False, "1"), (True, "1")])
+def test_fused_ioc_msg_inkernel_matches_precomputed(freeze, band,
+                                                    monkeypatch):
+    """msg=None (in-kernel social-message projection — the kernel computes
+    msg = dec_h @ W + b itself during pass 0) must reproduce the
+    precomputed-msg path bitwise: the kernel replicates the XLA dense's
+    numerics (f32 MXU accumulate rounded to the compute dtype + cd bias
+    add). Covers both attention forms and the frozen variant."""
+    from desire_tpu.models.ioc import _DELTA_SCALE
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    monkeypatch.setenv("DESIRE_SOCIAL_BAND", band)
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env(
+        seed=3, b=1, a=33, k=10, t=4)
+    msg = scf.social_messages(p_scf, dec_h)
+
+    def run(m):
+        return ioc_refine_fused(
+            p_ioc, p_scf, traj, dec_h, m, feat_map, live, fut_mask,
+            num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE,
+            interpret=True, social_freeze=freeze)
+
+    ref_t, ref_s = run(msg)
+    ink_t, ink_s = run(None)
+    np.testing.assert_array_equal(np.asarray(ink_t), np.asarray(ref_t))
+    np.testing.assert_array_equal(np.asarray(ink_s), np.asarray(ref_s))
