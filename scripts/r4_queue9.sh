@@ -39,10 +39,28 @@ else
 fi
 echo "ztemp triage winner: $WINNER ($FLAGS)"
 
+# adopt the banded social attention for the retrain if the pre-step A/B
+# measured a train-step win (numerics-neutral; parity-tested both ways)
+BAND=$(python - <<'EOF'
+import json
+t = {}
+try:
+    for line in open("/tmp/r4_band_ab.json"):
+        r = json.loads(line)
+        if "train_step_ms" in r:
+            t[r["band"]] = r["train_step_ms"]
+except Exception:
+    pass
+print(1 if t.get("1", 1e9) < t.get("0", 1e9) - 1.0 else 0)
+EOF
+)
+echo "retrain DESIRE_SOCIAL_BAND=$BAND"
+
 bash scripts/r4_probe_wait.sh
 rm -rf save/r4_flagship2
-timeout 10800 python train.py --data_dir "$D" --num_epochs 100 \
-    --batch_size 64 $FLAGS --save_dir save/r4_flagship2 2>&1 | tail -3
+timeout 10800 env DESIRE_SOCIAL_BAND=$BAND python train.py --data_dir "$D" \
+    --num_epochs 100 --batch_size 64 $FLAGS \
+    --save_dir save/r4_flagship2 2>&1 | tail -3
 
 # final-ckpt sweep (heldout K20+cal, K50, CV baseline, train-split appendix)
 bash scripts/r4_probe_wait.sh
