@@ -49,6 +49,20 @@ from desire_tpu.ops.ioc_fused import (_fused_loop_default, _pick_chunk,
                                       _tent_mm_default)
 
 
+def _batch_wgrad_default():
+    """Batch the weight-gradient contractions per pass instead of per step
+    (DESIRE_IOC_BATCH_WGRAD=1): the reverse T-loop stages the gate/head
+    cotangents in scratch (reusing the gate buffers, which are dead once
+    the step's gates are recomputed) and each weight group's T matmul-
+    accumulate rounds collapse into ONE (T*rows, ·) contraction per pass.
+    At flagship shapes that deletes ~26 of the ~45 serial ops per reverse
+    step — the backward kernel is op-issue-latency-bound, like the forward
+    (RESULTS.md r4 row-cap sweep). Same products, f32-accumulated in a
+    different order (gradient-parity tested)."""
+    import os
+    return os.environ.get("DESIRE_IOC_BATCH_WGRAD", "0") == "1"
+
+
 def _mmf(a, b, cd, precision):
     return jnp.dot(a.astype(cd), b.astype(cd),
                    preferred_element_type=jnp.float32, precision=precision)
@@ -80,9 +94,10 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             dbi_ref, dbh_ref, dhw_ref, dhb_ref, dltau_ref,
             gir_s, giz_s, gin_s, hs_s, w_s, scene_s, soc_s, x_s, y_s,
             gx_s, gy_s, dh_s, h_s, dhseed_s, gdec_s, dsoc_r_s, dsoc_c_s,
-            xb_s, yb_s, d2b_s,
+            xb_s, yb_s, d2b_s, douts_scr,
             *, num_refine, delta_scale, grid_g, cd, a_dim, kc,
-            tent_mm=False, social_freeze=False, fused_loop=True, band=False):
+            tent_mm=False, social_freeze=False, fused_loop=True, band=False,
+            batch_wgrad=False):
     t_len = fmask_ref.shape[1]
     rows = kc * a_dim
     d = whr_ref.shape[0]
@@ -150,6 +165,10 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
                          keepdims=True) > 0).astype(f32)      # (rows, 1)
 
     hw = hw_ref[:].astype(f32)                            # (d, 4)
+    if batch_wgrad:
+        # lane one-hots for staging the four head cotangents as (rows, 8)
+        c8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+        e8 = [(c8 == i).astype(f32) for i in range(4)]
     def hb(i):
         return hb_ref[0, i].astype(f32)                   # SMEM scalar
     bir = bir_ref[:].astype(f32)                          # (1, d)
@@ -336,9 +355,12 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
 
         def seed_step(t, _):
             hs_t = hs_s[pl.ds(t, 1)][0]
-            out1 = _mmf(hs_t, hw[:, 1:2], cd, precision) + hb(1)
-            out2 = _mmf(hs_t, hw[:, 2:3], cd, precision) + hb(2)
-            out3 = _mmf(hs_t, hw[:, 3:4], cd, precision) + hb(3)
+            # one (d, 4) heads matmul (same per-column products/accumulation
+            # as three (d, 1) matmuls; column 0 is unused here)
+            out = _mmf(hs_t, hw, cd, precision)                # (rows, 4)
+            out1 = out[:, 1:2] + hb(1)
+            out2 = out[:, 2:3] + hb(2)
+            out3 = out[:, 3:4] + hb(3)
             fmask_t = fmask_ref[0, pl.ds(t, 1)].astype(f32)    # (1, rows)
             fm_col = jnp.swapaxes(fmask_t, 0, 1)               # (rows, 1)
 
@@ -362,6 +384,16 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
                 + d_out1 * jnp.swapaxes(hw[:, 1:2], 0, 1)
                 + d_out2 * jnp.swapaxes(hw[:, 2:3], 0, 1)
                 + d_out3 * jnp.swapaxes(hw[:, 3:4], 0, 1))[None]
+
+            if batch_wgrad:
+                # stage the four head cotangents as (rows, 8) lanes 0..3
+                # (one-hot compose — lane-dim concats are forbidden); the
+                # per-pass batched contraction replaces the 8 per-step
+                # matmul/reduce accumulations below
+                douts_scr[pl.ds(t, 1)] = (
+                    d_psi * e8[0] + d_out1 * e8[1]
+                    + d_out2 * e8[2] + d_out3 * e8[3])[None]
+                return 0
 
             # head grads: rows 0..3 of the (8, d) accumulator
             dhw_ref[0, 0, 0:1] = dhw_ref[0, 0, 0:1] + _contract_first(
@@ -431,31 +463,43 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
                        + _contract_last(drp, whr_ref[:], cd, precision)
                        + _contract_last(dzp, whz_ref[:], cd, precision)
                        + _contract_last(d_h_n, whn_ref[:], cd, precision))
-            dwh_ref[0, 0, 0:d] = dwh_ref[0, 0, 0:d] + _contract_first(
-                h_prev, drp, cd, precision)
-            dwh_ref[0, 0, d:2 * d] = dwh_ref[0, 0, d:2 * d] + _contract_first(
-                h_prev, dzp, cd, precision)
-            dwh_ref[0, 0, 2 * d:3 * d] = (dwh_ref[0, 0, 2 * d:3 * d]
-                                          + _contract_first(h_prev, d_h_n,
+            if batch_wgrad:
+                # stage the gate cotangents for the per-pass batched weight
+                # contractions (see wgrad_flush): gir/giz/gin are dead at t
+                # after the gate recompute above, dhseed was consumed at the
+                # top of this step — all four stores reuse live scratch
+                gir_s[pl.ds(t, 1)] = drp[None]
+                giz_s[pl.ds(t, 1)] = dzp[None]
+                gin_s[pl.ds(t, 1)] = dnp[None]
+                dhseed_s[pl.ds(t, 1)] = d_h_n[None]
+            else:
+                dwh_ref[0, 0, 0:d] = dwh_ref[0, 0, 0:d] + _contract_first(
+                    h_prev, drp, cd, precision)
+                dwh_ref[0, 0, d:2 * d] = (dwh_ref[0, 0, d:2 * d]
+                                          + _contract_first(h_prev, dzp,
                                                             cd, precision))
-            dbh_ref[0, 0, 0:1] = dbh_ref[0, 0, 0:1] + jnp.sum(
-                drp, axis=0, keepdims=True)
-            dbh_ref[0, 0, 1:2] = dbh_ref[0, 0, 1:2] + jnp.sum(
-                dzp, axis=0, keepdims=True)
-            dbh_ref[0, 0, 2:3] = dbh_ref[0, 0, 2:3] + jnp.sum(
-                d_h_n, axis=0, keepdims=True)
-            dbi_ref[0, 0, 0:1] = dbi_ref[0, 0, 0:1] + jnp.sum(
-                drp, axis=0, keepdims=True)
-            dbi_ref[0, 0, 1:2] = dbi_ref[0, 0, 1:2] + jnp.sum(
-                dzp, axis=0, keepdims=True)
-            dbi_ref[0, 0, 2:3] = dbi_ref[0, 0, 2:3] + jnp.sum(
-                dnp, axis=0, keepdims=True)
+                dwh_ref[0, 0, 2 * d:3 * d] = (dwh_ref[0, 0, 2 * d:3 * d]
+                                              + _contract_first(
+                                                  h_prev, d_h_n,
+                                                  cd, precision))
+                dbh_ref[0, 0, 0:1] = dbh_ref[0, 0, 0:1] + jnp.sum(
+                    drp, axis=0, keepdims=True)
+                dbh_ref[0, 0, 1:2] = dbh_ref[0, 0, 1:2] + jnp.sum(
+                    dzp, axis=0, keepdims=True)
+                dbh_ref[0, 0, 2:3] = dbh_ref[0, 0, 2:3] + jnp.sum(
+                    d_h_n, axis=0, keepdims=True)
+                dbi_ref[0, 0, 0:1] = dbi_ref[0, 0, 0:1] + jnp.sum(
+                    drp, axis=0, keepdims=True)
+                dbi_ref[0, 0, 1:2] = dbi_ref[0, 0, 1:2] + jnp.sum(
+                    dzp, axis=0, keepdims=True)
+                dbi_ref[0, 0, 2:3] = dbi_ref[0, 0, 2:3] + jnp.sum(
+                    dnp, axis=0, keepdims=True)
             dh_s[:] = dh_prev
 
             # ---- feature blocks ----
-            dec_t = dec_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
-            scene_t = scene_s[pl.ds(t, 1)][0]
-            soc_t = soc_s[pl.ds(t, 1)][0]
+            if not batch_wgrad:
+                scene_t = scene_s[pl.ds(t, 1)][0]
+                soc_t = soc_s[pl.ds(t, 1)][0]
             mt = msg_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
             w_t = w_s[pl.ds(t, 1)][0]
             x = x_s[pl.ds(t, 1)]
@@ -463,32 +507,39 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             xT = jnp.swapaxes(x, 0, 1)
             yT = jnp.swapaxes(y, 0, 1)
 
-            # dec block
-            ddec_ref[0, 0, pl.ds(t, 1)] = (
-                ddec_ref[0, 0, pl.ds(t, 1)]
-                + (_contract_last(drp, wdr_ref[:], cd, precision)
-                   + _contract_last(dzp, wdz_ref[:], cd, precision)
-                   + _contract_last(dnp, wdn_ref[:], cd, precision))[None])
-            dwd_ref[0, 0, 0:d] = dwd_ref[0, 0, 0:d] + _contract_first(
-                dec_t, drp, cd, precision)
-            dwd_ref[0, 0, d:2 * d] = dwd_ref[0, 0, d:2 * d] + _contract_first(
-                dec_t, dzp, cd, precision)
-            dwd_ref[0, 0, 2 * d:3 * d] = (dwd_ref[0, 0, 2 * d:3 * d]
-                                          + _contract_first(dec_t, dnp,
+            if not batch_wgrad:
+                # dec block (batched: wgrad_flush)
+                dec_t = dec_ref[0, 0, pl.ds(t, 1)][0].astype(f32)
+                ddec_ref[0, 0, pl.ds(t, 1)] = (
+                    ddec_ref[0, 0, pl.ds(t, 1)]
+                    + (_contract_last(drp, wdr_ref[:], cd, precision)
+                       + _contract_last(dzp, wdz_ref[:], cd, precision)
+                       + _contract_last(dnp, wdn_ref[:], cd, precision))[
+                           None])
+                dwd_ref[0, 0, 0:d] = dwd_ref[0, 0, 0:d] + _contract_first(
+                    dec_t, drp, cd, precision)
+                dwd_ref[0, 0, d:2 * d] = (dwd_ref[0, 0, d:2 * d]
+                                          + _contract_first(dec_t, dzp,
                                                             cd, precision))
+                dwd_ref[0, 0, 2 * d:3 * d] = (dwd_ref[0, 0, 2 * d:3 * d]
+                                              + _contract_first(dec_t, dnp,
+                                                                cd,
+                                                                precision))
 
             # scene block
             d_scene = (_contract_last(drp, wsr_ref[:], cd, precision)
                        + _contract_last(dzp, wsz_ref[:], cd, precision)
                        + _contract_last(dnp, wsn_ref[:], cd, precision))
-            dws_ref[0, 0, 0:c_dim] = dws_ref[0, 0, 0:c_dim] + _contract_first(
-                scene_t, drp, cd, precision)
-            dws_ref[0, 0, c_dim:2 * c_dim] = (
-                dws_ref[0, 0, c_dim:2 * c_dim]
-                + _contract_first(scene_t, dzp, cd, precision))
-            dws_ref[0, 0, 2 * c_dim:3 * c_dim] = (
-                dws_ref[0, 0, 2 * c_dim:3 * c_dim]
-                + _contract_first(scene_t, dnp, cd, precision))
+            if not batch_wgrad:
+                dws_ref[0, 0, 0:c_dim] = (dws_ref[0, 0, 0:c_dim]
+                                          + _contract_first(scene_t, drp,
+                                                            cd, precision))
+                dws_ref[0, 0, c_dim:2 * c_dim] = (
+                    dws_ref[0, 0, c_dim:2 * c_dim]
+                    + _contract_first(scene_t, dzp, cd, precision))
+                dws_ref[0, 0, 2 * c_dim:3 * c_dim] = (
+                    dws_ref[0, 0, 2 * c_dim:3 * c_dim]
+                    + _contract_first(scene_t, dnp, cd, precision))
             hot, wx, wy = tent_weights(xT, yT)
             dfmap_ref[0, 0] = dfmap_ref[0, 0] + _contract_first(
                 hot, d_scene, cd, precision)
@@ -504,13 +555,16 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             d_soc = (_contract_last(drp, wor_ref[:], cd, precision)
                      + _contract_last(dzp, woz_ref[:], cd, precision)
                      + _contract_last(dnp, won_ref[:], cd, precision))
-            dwo_ref[0, 0, 0:d] = dwo_ref[0, 0, 0:d] + _contract_first(
-                soc_t, drp, cd, precision)
-            dwo_ref[0, 0, d:2 * d] = dwo_ref[0, 0, d:2 * d] + _contract_first(
-                soc_t, dzp, cd, precision)
-            dwo_ref[0, 0, 2 * d:3 * d] = (dwo_ref[0, 0, 2 * d:3 * d]
-                                          + _contract_first(soc_t, dnp,
+            if not batch_wgrad:
+                dwo_ref[0, 0, 0:d] = dwo_ref[0, 0, 0:d] + _contract_first(
+                    soc_t, drp, cd, precision)
+                dwo_ref[0, 0, d:2 * d] = (dwo_ref[0, 0, d:2 * d]
+                                          + _contract_first(soc_t, dzp,
                                                             cd, precision))
+                dwo_ref[0, 0, 2 * d:3 * d] = (dwo_ref[0, 0, 2 * d:3 * d]
+                                              + _contract_first(soc_t, dnp,
+                                                                cd,
+                                                                precision))
             if social_freeze:
                 # defer the attention adjoint: bucket d_soc by pass class
                 # (refine passes carry position+ltau gradient; the score
@@ -619,6 +673,91 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             return 0
 
         jax.lax.fori_loop(0, t_len, bwd_step, 0)
+
+        if batch_wgrad:
+            # ---- per-pass batched weight-gradient contractions ----------
+            # The reverse loop staged drp/dzp/dnp in gir/giz/gin, d_h_n in
+            # dhseed, and the head cotangents in douts; each weight group's
+            # T x per-step matmul-accumulate rounds collapse into ONE
+            # contraction over the flattened (T*rows) axis. Values are the
+            # same products f32-accumulated in a different order. The (T,
+            # rows, d) -> (T*rows, d) reshapes merge the untiled leading
+            # dim into sublanes (rows % 8 == 0) — layout-preserving.
+            tr = t_len * rows
+            drp_f = gir_s[:].reshape(tr, d)
+            dzp_f = giz_s[:].reshape(tr, d)
+            dnp_f = gin_s[:].reshape(tr, d)
+            dhn_f = dhseed_s[:].reshape(tr, d)
+            hs_f = hs_s[:].reshape(tr, d)
+            # GRU-recurrent weight: h_prev[t] = hs[t-1] (zero at t=0, whose
+            # term vanishes) -> contract hs[0:T-1] against gates[1:T]
+            trm = (t_len - 1) * rows
+            hsp_f = hs_s[0:t_len - 1].reshape(trm, d)
+            dwh_ref[0, 0, 0:d] = dwh_ref[0, 0, 0:d] + _contract_first(
+                hsp_f, gir_s[1:t_len].reshape(trm, d), cd, precision)
+            dwh_ref[0, 0, d:2 * d] = (dwh_ref[0, 0, d:2 * d]
+                                      + _contract_first(
+                                          hsp_f,
+                                          giz_s[1:t_len].reshape(trm, d),
+                                          cd, precision))
+            dwh_ref[0, 0, 2 * d:3 * d] = (dwh_ref[0, 0, 2 * d:3 * d]
+                                          + _contract_first(
+                                              hsp_f,
+                                              dhseed_s[1:t_len].reshape(
+                                                  trm, d),
+                                              cd, precision))
+            dbh_ref[0, 0, 0:1] = dbh_ref[0, 0, 0:1] + jnp.sum(
+                drp_f, axis=0, keepdims=True)
+            dbh_ref[0, 0, 1:2] = dbh_ref[0, 0, 1:2] + jnp.sum(
+                dzp_f, axis=0, keepdims=True)
+            dbh_ref[0, 0, 2:3] = dbh_ref[0, 0, 2:3] + jnp.sum(
+                dhn_f, axis=0, keepdims=True)
+            dbi_ref[0, 0, 0:1] = dbi_ref[0, 0, 0:1] + jnp.sum(
+                drp_f, axis=0, keepdims=True)
+            dbi_ref[0, 0, 1:2] = dbi_ref[0, 0, 1:2] + jnp.sum(
+                dzp_f, axis=0, keepdims=True)
+            dbi_ref[0, 0, 2:3] = dbi_ref[0, 0, 2:3] + jnp.sum(
+                dnp_f, axis=0, keepdims=True)
+            # dec block: cotangent into dec + weight grads
+            dec_f = dec_ref[0, 0].reshape(tr, d).astype(f32)
+            ddec_ref[0, 0] = ddec_ref[0, 0] + (
+                _contract_last(drp_f, wdr_ref[:], cd, precision)
+                + _contract_last(dzp_f, wdz_ref[:], cd, precision)
+                + _contract_last(dnp_f, wdn_ref[:], cd, precision)
+            ).reshape(t_len, rows, d)
+            dwd_ref[0, 0, 0:d] = dwd_ref[0, 0, 0:d] + _contract_first(
+                dec_f, drp_f, cd, precision)
+            dwd_ref[0, 0, d:2 * d] = (dwd_ref[0, 0, d:2 * d]
+                                      + _contract_first(dec_f, dzp_f,
+                                                        cd, precision))
+            dwd_ref[0, 0, 2 * d:3 * d] = (dwd_ref[0, 0, 2 * d:3 * d]
+                                          + _contract_first(dec_f, dnp_f,
+                                                            cd, precision))
+            scene_f = scene_s[:].reshape(tr, c_dim)
+            dws_ref[0, 0, 0:c_dim] = (dws_ref[0, 0, 0:c_dim]
+                                      + _contract_first(scene_f, drp_f,
+                                                        cd, precision))
+            dws_ref[0, 0, c_dim:2 * c_dim] = (
+                dws_ref[0, 0, c_dim:2 * c_dim]
+                + _contract_first(scene_f, dzp_f, cd, precision))
+            dws_ref[0, 0, 2 * c_dim:3 * c_dim] = (
+                dws_ref[0, 0, 2 * c_dim:3 * c_dim]
+                + _contract_first(scene_f, dnp_f, cd, precision))
+            soc_f = soc_s[:].reshape(tr, d)
+            dwo_ref[0, 0, 0:d] = dwo_ref[0, 0, 0:d] + _contract_first(
+                soc_f, drp_f, cd, precision)
+            dwo_ref[0, 0, d:2 * d] = (dwo_ref[0, 0, d:2 * d]
+                                      + _contract_first(soc_f, dzp_f,
+                                                        cd, precision))
+            dwo_ref[0, 0, 2 * d:3 * d] = (dwo_ref[0, 0, 2 * d:3 * d]
+                                          + _contract_first(soc_f, dnp_f,
+                                                            cd, precision))
+            # head grads: one (8, d) contraction + one bias reduce
+            douts_f = douts_scr[:].reshape(tr, 8)
+            dhw_ref[0, 0] = dhw_ref[0, 0] + _contract_first(
+                douts_f, hs_f, cd, precision)
+            dhb_ref[0, 0, 0:8, 0:1] = dhb_ref[0, 0, 0:8, 0:1] + jnp.swapaxes(
+                jnp.sum(douts_f, axis=0, keepdims=True), 0, 1)
         return 0
 
     gx_s[:] = grx_ref[0, 0]
@@ -810,11 +949,13 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
         [p_ioc["score"]["b"], p_ioc["gate"]["b"], p_ioc["delta"]["b"]])
 
     band = _social_band_default()
+    batch_wgrad = _batch_wgrad_default()
     kernel = functools.partial(
         _kernel, num_refine=nr, delta_scale=float(delta_scale),
         grid_g=int(g), cd=cd, a_dim=a, kc=kc,
         tent_mm=_tent_mm_default(), social_freeze=bool(social_freeze),
-        fused_loop=_fused_loop_default(), band=band)
+        fused_loop=_fused_loop_default(), band=band,
+        batch_wgrad=batch_wgrad)
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -908,6 +1049,8 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
             pltpu.VMEM((t, rows, a) if band else (1, 8, 128), f32),
             pltpu.VMEM((t, rows, a) if band else (1, 8, 128), f32),
             pltpu.VMEM((t, rows, a) if band else (1, 8, 128), f32),
+            # staged head cotangents for the batched weight contractions
+            pltpu.VMEM((t, rows, 8) if batch_wgrad else (1, 8, 128), f32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),

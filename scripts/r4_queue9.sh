@@ -39,26 +39,34 @@ else
 fi
 echo "ztemp triage winner: $WINNER ($FLAGS)"
 
-# adopt the banded social attention for the retrain if the pre-step A/B
-# measured a train-step win (numerics-neutral; parity-tested both ways)
-BAND=$(python - <<'EOF'
+# adopt the (band, batch_wgrad) combo the pre-step A/B measured fastest
+# for the train step (numerics-neutral; gradient-parity tested every way);
+# require a >1 ms win over the (0,0) control before leaving the default
+KNOBS=$(python - <<'EOF'
 import json
 t = {}
 try:
     for line in open("/tmp/r4_band_ab.json"):
         r = json.loads(line)
         if "train_step_ms" in r:
-            t[r["band"]] = r["train_step_ms"]
+            t[(r["band"], r.get("wgrad", "0"))] = r["train_step_ms"]
 except Exception:
     pass
-print(1 if t.get("1", 1e9) < t.get("0", 1e9) - 1.0 else 0)
+base = t.get(("0", "0"), 1e9)
+best = min(t, key=t.get) if t else ("0", "0")
+if t.get(best, 1e9) >= base - 1.0:
+    best = ("0", "0")
+print(f"{best[0]} {best[1]}")
 EOF
 )
-echo "retrain DESIRE_SOCIAL_BAND=$BAND"
+set -- $KNOBS
+BAND=$1; WGRAD=$2
+echo "retrain DESIRE_SOCIAL_BAND=$BAND DESIRE_IOC_BATCH_WGRAD=$WGRAD"
 
 bash scripts/r4_probe_wait.sh
 rm -rf save/r4_flagship2
-timeout 10800 env DESIRE_SOCIAL_BAND=$BAND python train.py --data_dir "$D" \
+timeout 10800 env DESIRE_SOCIAL_BAND=$BAND DESIRE_IOC_BATCH_WGRAD=$WGRAD \
+    python train.py --data_dir "$D" \
     --num_epochs 100 --batch_size 64 $FLAGS \
     --save_dir save/r4_flagship2 2>&1 | tail -3
 

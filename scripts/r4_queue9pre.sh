@@ -23,6 +23,7 @@ import bench
 bench._algo_cost = lambda *a: (0.0, 0.0)
 sps, dt, mfu, hbm = bench.bench_train(iters=6, warmup=2)
 print(json.dumps({"band": os.environ.get("DESIRE_SOCIAL_BAND", "0"),
+                  "wgrad": os.environ.get("DESIRE_IOC_BATCH_WGRAD", "0"),
                   "train_step_ms": round(dt*1e3, 2)}))'
 
 # forward matrix: banded attention x in-kernel msg (both numerics-neutral)
@@ -32,10 +33,12 @@ for combo in "0 0" "1 0" "0 1" "1 1"; do
   timeout $T env DESIRE_SOCIAL_BAND=$1 DESIRE_MSG_INKERNEL=$2 \
       python -c "$FWD" | tee -a /tmp/r4_band_ab.json || true
 done
-# train step: banded attention (msg stays explicit on the trainable path)
-for b in 0 1; do
+# train step: banded attention x batched weight-grad contractions
+# (msg stays explicit on the trainable path)
+for combo in "0 0" "1 0" "0 1" "1 1"; do
+  set -- $combo
   bash scripts/r4_probe_wait.sh
-  timeout $T env DESIRE_SOCIAL_BAND=$b python -c "$TRAIN" \
-      | tee -a /tmp/r4_band_ab.json || true
+  timeout $T env DESIRE_SOCIAL_BAND=$1 DESIRE_IOC_BATCH_WGRAD=$2 \
+      python -c "$TRAIN" | tee -a /tmp/r4_band_ab.json || true
 done
 echo R4_BAND_AB_DONE

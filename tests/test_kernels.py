@@ -730,3 +730,43 @@ def test_fused_ioc_msg_inkernel_matches_precomputed(freeze, band,
     ink_t, ink_s = run(None)
     np.testing.assert_array_equal(np.asarray(ink_t), np.asarray(ref_t))
     np.testing.assert_array_equal(np.asarray(ink_s), np.asarray(ref_s))
+
+
+@pytest.mark.parametrize("freeze,band", [(False, "0"), (True, "1")])
+def test_pallas_backward_batch_wgrad_gradient_parity(freeze, band,
+                                                     monkeypatch):
+    """DESIRE_IOC_BATCH_WGRAD (per-pass batched weight-gradient
+    contractions over the flattened (T*rows) axis, staged in the dead gate
+    scratches) must reproduce jax.grad of the XLA ioc_forward — same
+    products, different f32 accumulation order. Multi-chunk layout +
+    4 refinement iterations (the flagship control flow), crossed with the
+    banded attention and the frozen variant."""
+    from desire_tpu.models.ioc import ioc_forward
+    from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
+    monkeypatch.setenv("DESIRE_IOC_BATCH_WGRAD", "1")
+    monkeypatch.setenv("DESIRE_SOCIAL_BAND", band)
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env(
+        seed=1, b=1, a=33, k=10, t=4)
+    cfg = cfg.replace(num_refine=4, social_freeze=freeze)
+    fused = make_trainable_fused_ioc(cfg, interpret=True, backward="pallas")
+
+    def loss_fused(p_ioc, p_scf, traj, dec_h, feat_map):
+        refined, scores, iters = fused(p_ioc, p_scf, traj, dec_h,
+                                       feat_map, live, fut_mask)
+        return jnp.sum(refined ** 2) + jnp.sum(scores) + jnp.sum(iters ** 2)
+
+    def loss_xla(p_ioc, p_scf, traj, dec_h, feat_map):
+        refined, scores, per_iter = ioc_forward(
+            p_ioc, p_scf, cfg, traj, dec_h, feat_map, live, fut_mask)
+        return (jnp.sum(refined ** 2) + jnp.sum(scores)
+                + jnp.sum(jnp.stack(per_iter) ** 2))
+
+    args = (p_ioc, p_scf, traj, dec_h, feat_map)
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(*args)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_f)
+    flat_x = jax.tree_util.tree_leaves(g_x)
+    for (path, af), ax in zip(flat_f, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(af), np.asarray(ax), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path))
