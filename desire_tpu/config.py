@@ -108,7 +108,7 @@ class DesireConfig:
     w_nll: float = 1.0           # bivariate-Gaussian reconstruction NLL
     w_kld: float = 2.0           # CVAE KL divergence (headline recipe; 1.0
     #                              under-regularized the posterior at K=12)
-    w_prior_nll: float = 0.0     # prior-predictive coverage: best-of-the-
+    w_prior_nll: float = 0.5     # prior-predictive coverage: best-of-the-
     #                              prior-lanes NLL (min over the first
     #                              round(K*prior_lane_frac) lanes only) —
     #                              the train-time mirror of the INFERENCE
@@ -120,7 +120,10 @@ class DesireConfig:
     #                              without this term the prior head and the
     #                              z_temp_learn temperature head receive
     #                              almost no training signal. 0 = off;
-    #                              needs prior_lane_frac > 0 to do anything
+    #                              needs prior_lane_frac > 0 to do anything.
+    #                              DEFAULT 0.5 since round 4: the 40-epoch
+    #                              A/B (RESULTS r4 ztemp triage) beat the
+    #                              same-epoch control on every axis
     w_ce: float = 1.0            # IOC ranking cross-entropy
     w_reg: float = 1.0           # refinement regression
     w_delta: float = 0.5         # trust-region penalty on refinement deltas
@@ -237,7 +240,7 @@ class DesireConfig:
     #                              leaves K-n lanes untouched, bounding the
     #                              oracle cost while keeping along-track
     #                              coverage for fast agents
-    z_temp_learn: bool = False   # learned speed-conditioned latent
+    z_temp_learn: bool = True    # learned speed-conditioned latent
     #                              temperature (VERDICT r3 item 5): a tiny
     #                              zero-init MLP on the stop-gradient observed
     #                              log-speed scales the latent noise on
@@ -253,7 +256,10 @@ class DesireConfig:
     #                              along-track diversity while slow agents
     #                              can SHRINK spread (the held-out 50%
     #                              coverage is over-dispersed). Zero-init =
-    #                              temp exactly 1 (pre-flag behavior) at init
+    #                              temp exactly 1 (pre-flag behavior) at init.
+    #                              DEFAULT since round 4: +temp head beat the
+    #                              no-head control 14.70 vs 15.23 px minADE@20
+    #                              held-out at 40 epochs (top-1 24.4 vs 27.2)
     cond_prior: bool = True      # conditional CVAE prior p(z|X): a zero-init
     #                              head on the past encoding emits
     #                              (mu_p, logvar_p); KLD pulls the posterior
@@ -264,7 +270,7 @@ class DesireConfig:
     #                              pedestrian share one hypothesis
     #                              distribution) — the round-2 fast-agent gap.
     #                              Zero-init = starts exactly at N(0, I)
-    prior_lane_frac: float = 0.0  # fraction of TRAIN-time hypothesis lanes
+    prior_lane_frac: float = 0.3  # fraction of TRAIN-time hypothesis lanes
     #                              drawn from the (conditional) prior instead
     #                              of the posterior. Posterior draws cluster
     #                              around the observed future, so the IOC
@@ -272,7 +278,10 @@ class DesireConfig:
     #                              must discriminate at inference; prior
     #                              lanes close that train/test gap and give
     #                              the best-of-K NLL a direct prior-
-    #                              predictive term. 0 = round-2 behavior
+    #                              predictive term. 0 = round-2 behavior.
+    #                              DEFAULT 0.3 since round 4 (ztemp triage:
+    #                              14.70 px minADE@20 / rank-corr 0.52 vs the
+    #                              16.18 / 0.28 posterior-only flagship)
     vae_dec: str = "mlp"         # latent -> mask decoder: 'mlp' (default) or
     #                              'conv' (the reference's 4-deconv stack,
     #                              model/model.py:453-469). The deconv path

@@ -224,7 +224,7 @@ def test_w_prior_nll_adds_exactly_the_coverage_term_and_trains_heads():
     those heads starve)."""
     mk = dict(z_temp_learn=True, prior_lane_frac=0.5)
     cfg_on = tiny_cfg(w_prior_nll=0.5, **mk)
-    cfg_off = tiny_cfg(**mk)
+    cfg_off = tiny_cfg(w_prior_nll=0.0, **mk)  # explicit: 0.5 is the default
     params = desire.init_desire(jax.random.PRNGKey(0), cfg_on)
     xy = jax.random.uniform(jax.random.PRNGKey(2),
                             (cfg_on.batch_size, cfg_on.total_len,
@@ -481,8 +481,13 @@ def test_desire_loss_gradients_flow_everywhere():
     #   ioc.score.b: a bias shared across all K lanes cancels exactly in
     #     the ranking softmax-CE (any nonzero value seen historically was
     #     bf16 roundoff, which made a count-based threshold flaky).
+    #   sgm.ztemp_fc1.{w,b}: the temperature head's OUTPUT layer (ztemp_fc2)
+    #     is zero-init (temp exactly 1 at init, config.py z_temp_learn), so
+    #     the chain rule through it zeroes fc1's gradient until fc2's first
+    #     update — same product-rule structure as the ioc gate.
     allowed_zero = {"['ioc']['gate']['w']", "['ioc']['gate']['b']",
-                    "['ioc']['score']['b']"}
+                    "['ioc']['score']['b']",
+                    "['sgm']['ztemp_fc1']['w']", "['sgm']['ztemp_fc1']['b']"}
     zero = {k for k, n in norms.items() if n == 0.0}
     assert zero <= allowed_zero, f"unexpected zero-grad leaves: {sorted(zero - allowed_zero)}"
 

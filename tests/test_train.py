@@ -323,10 +323,16 @@ def test_cvae_best_of_k_covers_bimodal_future():
     must place hypotheses on BOTH modes of a bimodal future. Guards the
     dead-ReLU masking-head trap inherited from the reference
     (model/model.py:275-276) and posterior collapse generally."""
+    # z_temp_learn pinned OFF: the learned speed->temperature head (round-4
+    # default) legitimately shrinks spread up to its 3x floor on this
+    # all-slow toy fixture, which sits right at the 1e-3 std threshold —
+    # this test targets the dead-ReLU trap, not the temp head (the floor
+    # itself is asserted in test_z_temp_head_bounded below)
     cfg = micro_cfg("unused", use_ioc=False, use_scf=False, obs_len=4,
                     pred_len=4, num_samples=4, batch_size=16, max_num_obj=2,
                     recon_agg="min", kld_free_bits=0.1, learning_rate=3e-3,
-                    kld_warmup=100)
+                    kld_warmup=100, z_temp_learn=False, w_prior_nll=0.0,
+                    prior_lane_frac=0.0)
     params = init_desire(jax.random.PRNGKey(0), cfg)
     state = create_train_state(cfg, params, steps_per_epoch=1000)
     step_fn = trainer.make_train_step(cfg, 1000)
@@ -350,6 +356,27 @@ def test_cvae_best_of_k_covers_bimodal_future():
     lane0_ade = err[..., 0].mean()
     ratio = min_ade / lane0_ade
     assert ratio < 0.85, f"best-of-K not better than single lane: {ratio:.2f}"
+
+
+def test_z_temp_head_bounded():
+    """The learned latent-temperature head (config.py z_temp_learn) is
+    exactly 1 at zero-init and tanh-bounded to [1/3, 3] for ANY weights —
+    lane diversity can shrink at most 3x, never collapse."""
+    from desire_tpu.models.sgm import _learned_z_temp
+    cfg = micro_cfg("unused", z_temp_learn=True, obs_len=4, pred_len=4,
+                    max_num_obj=2)
+    params = init_desire(jax.random.PRNGKey(0), cfg)["sgm"]
+    assert "ztemp_fc1" in params
+    rel = jax.random.normal(jax.random.PRNGKey(1), (6, cfg.obs_len, 2))
+    m = jnp.ones((6, cfg.obs_len))
+    t0 = _learned_z_temp(params, cfg, rel, m)
+    np.testing.assert_allclose(np.asarray(t0), 1.0, atol=1e-6)
+    hot = jax.tree.map(lambda w: jnp.full_like(w, 50.0), params)
+    t_hot = np.asarray(_learned_z_temp(hot, cfg, rel * 100, m))
+    cold = jax.tree.map(lambda w: jnp.full_like(w, -50.0), params)
+    t_cold = np.asarray(_learned_z_temp(cold, cfg, rel * 0, m))
+    for t in (t_hot, t_cold):
+        assert (t >= 1.0 / 3 - 1e-5).all() and (t <= 3.0 + 1e-5).all(), t
 
 
 def test_track_decomposition_closed_form():
