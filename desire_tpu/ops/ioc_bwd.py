@@ -58,9 +58,12 @@ def _batch_wgrad_default():
     At flagship shapes that deletes ~26 of the ~45 serial ops per reverse
     step — the backward kernel is op-issue-latency-bound, like the forward
     (RESULTS.md r4 row-cap sweep). Same products, f32-accumulated in a
-    different order (gradient-parity tested)."""
+    different order (gradient-parity tested).
+
+    Measured (r4 on-chip A/B, v5e, B=64 A=60 K=20): train 239.2 vs
+    242.8 ms/step — DEFAULT ON since round 4."""
     import os
-    return os.environ.get("DESIRE_IOC_BATCH_WGRAD", "0") == "1"
+    return os.environ.get("DESIRE_IOC_BATCH_WGRAD", "1") == "1"
 
 
 def _mmf(a, b, cd, precision):

@@ -138,7 +138,13 @@ def _social_band_default():
     exp(-1e9 - max) underflows to exactly 0.0 in f32; the only delta vs
     the full form is the softmax denominator's reduction-tree pairing
     (A vs rows summands, the rest exact zeros) — ~1 ULP, parity-tested
-    at 1e-5/1e-6 in tests/test_kernels.py."""
+    at 1e-5/1e-6 in tests/test_kernels.py.
+
+    Measured (r4 on-chip A/B, v5e, B=64 A=60 K=20): LOSES — fwd 86.8 vs
+    61.1 ms, train 328.0 vs 242.8 ms/step. The two exact selection
+    matmuls + band re-expansion per step ADD serial ops to an op-issue-
+    latency-bound loop; shrinking the VPU element count doesn't pay when
+    elements aren't the constraint. Default off, kept for the record."""
     return os.environ.get("DESIRE_SOCIAL_BAND", "0") == "1"
 
 
@@ -155,8 +161,11 @@ def _msg_inkernel_default():
     — the kernel reproduces exactly that (f32 accumulate, cast, add).
     Training keeps the explicit-msg path: the backward kernel consumes msg
     as an operand and the soc_msg parameter gradients chain through the
-    XLA einsum either way."""
-    return os.environ.get("DESIRE_MSG_INKERNEL", "0") == "1"
+    XLA einsum either way.
+
+    Measured (r4 on-chip A/B, v5e, B=64 A=60 K=20): fwd 59.3 vs 61.1 ms
+    (1.30M vs 1.26M traj/s) — DEFAULT ON since round 4."""
+    return os.environ.get("DESIRE_MSG_INKERNEL", "1") == "1"
 
 
 def _fused_loop_default():
