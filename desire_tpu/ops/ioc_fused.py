@@ -168,6 +168,30 @@ def _msg_inkernel_default():
     return os.environ.get("DESIRE_MSG_INKERNEL", "1") == "1"
 
 
+def _social_tb_default():
+    """T-blocked social attention (DESIRE_SOCIAL_TB=N, inference path
+    only): instead of running the distance/softmax chain once per step
+    inside the recurrent T-loop, a pre-loop computes the attention for N
+    steps at a time on one (N*rows, rows) tile and stages the pooled
+    messages in a (T, rows, d) scratch the GRU loop then reads. The
+    social stage is the kernel's largest VPU stage (~12 ms of the 60 ms
+    forward by in-kernel ablation) and the kernel is op-ISSUE-latency
+    bound, not element bound (the band/ablation lessons): batching N
+    steps divides the stage's serial-op count by ~N at identical element
+    throughput, which is exactly the regime where this kernel wins.
+
+    Bitwise-neutral by construction: the block form broadcasts each
+    step's positions with exact one-hot-copy matmuls (HIGHEST precision,
+    single-nonzero rows), extracts the per-row position with an exact
+    one-hot row-sum, and composes d2/softmax/nb-zeroing/pooling with the
+    SAME ops in the SAME order as the per-step path — parity-tested
+    exactly in tests/test_kernels.py. N is clamped to a divisor of T;
+    N=1 keeps the per-step path. Applies to the fused-loop inference
+    forward (incl. social_freeze pass-0); the trainable collect_iters
+    forward and the band variant keep their measured paths."""
+    return int(os.environ.get("DESIRE_SOCIAL_TB", "1"))
+
+
 def _fused_loop_default():
     """Fuse the per-step feature build, GRU update, pass-0 dec projection
     and final-pass score accumulation into ONE T-loop, in the forward AND
@@ -199,7 +223,7 @@ def _ablate_default():
 def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
             collect_iters=False, tent_mm=False, tent_bf16=False,
             ablate="", social_freeze=False, fused_loop=True, band=False,
-            msg_in=False):
+            msg_in=False, tblock=1):
     (tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
      wiv_ref, wis_ref, wio_ref, wid_ref, wh_ref, bi_ref, bh_ref,
      heads_w_ref, heads_b_ref, ltau_ref) = refs[:17]
@@ -220,7 +244,7 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
     if msg_in:
         *scr, msg_scr = scr
     soc_scr = None
-    if social_freeze:
+    if social_freeze or tblock > 1:
         *scr, soc_scr = scr
     gi_scr = None
     if fused_loop:
@@ -323,6 +347,27 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
         nb_ok = (jnp.sum(jnp.where(excl, 0.0, 1.0), axis=-1,
                          keepdims=True) > 0).astype(jnp.float32)   # (rows, 1)
 
+    if tblock > 1:
+        # T-block constants (_social_tb_default): the block tile stacks
+        # tblock step-slabs along sublanes; rmod folds a block row back to
+        # its in-slab row, so the exclusion/neighbor masks are exact tilings
+        # of the per-step ones. rsel broadcasts each slab's (1, rows)
+        # position vector to its rows sublanes (one-hot copy matmul); dsel
+        # extracts the per-row position column (one-hot row-sum).
+        tbr = tblock * rows
+        rr = jax.lax.broadcasted_iota(jnp.int32, (tbr, rows), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (tbr, rows), 1)
+        rmod = rr - (rr // rows) * rows
+        excl_blk = (((rmod // a_dim) != (cc // a_dim)) | (rmod == cc)
+                    | (live <= 0))                            # (TBr, rows)
+        nb_blk = (jnp.sum(jnp.where(excl_blk, 0.0, 1.0), axis=-1,
+                          keepdims=True) > 0).astype(jnp.float32)
+        dsel = (rmod == cc).astype(jnp.float32)               # (TBr, rows)
+        rsel = (jax.lax.broadcasted_iota(jnp.int32, (tbr, tblock), 1)
+                == (jax.lax.broadcasted_iota(
+                    jnp.int32, (tbr, tblock), 0) // rows)).astype(
+                        jnp.float32)                          # (TBr, TB)
+
     wh = wh_ref[:]
     bi = bi_ref[:].astype(jnp.float32)
     bh = bh_ref[:].astype(jnp.float32)
@@ -387,6 +432,10 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
 
         if ablate == "social":                  # bench-only decomposition
             soc_t = None
+        elif tblock > 1:
+            # pooled messages staged by the T-block pre-loop (soc_block);
+            # under social_freeze the pass-0 staging is simply not redone
+            soc_t = soc_scr[pl.ds(t, 1)][0]
         elif social_freeze:
             # attend ONCE at the pass-0 (initial SGM) positions; later
             # passes reuse the pooled block (config.py social_freeze)
@@ -433,9 +482,12 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
         # flagship shapes that is 192 -> 108 serial step-iterations, the
         # kernel's dominant cost on v5e (see _fused_loop_default).
         def fused_step(t, ip):
-            @pl.when(ip == 0)
-            def _():
-                dec_step(t, 0)
+            if not (tblock > 1 and msg_in):
+                # tblock>1 + msg_in stages dec/msg in its own pass-0
+                # pre-loop (soc_block reads msg_scr before this loop runs)
+                @pl.when(ip == 0)
+                def _():
+                    dec_step(t, 0)
             h = gru_update(compute_gi(t, ip))
             hs_scr[pl.ds(t, 1)] = h[None]
 
@@ -447,8 +499,52 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
                                     + psi * fmask_scr[pl.ds(t, 1)])
             return ip
 
+        def soc_block(ib, ip):
+            """Attention for tblock consecutive steps on ONE (TB*rows,
+            rows) tile -> pooled messages into soc_scr. Bitwise-equal to
+            the per-step attend(): position broadcast/extraction are
+            exact one-hot copies, and sq/gram/d2/softmax/nb-zeroing use
+            the identical ops in the identical order."""
+            s = ib * tblock
+            xb = x_scr[pl.ds(s, tblock)]                      # (TB, rows)
+            yb = y_scr[pl.ds(s, tblock)]
+            hp = jax.lax.Precision.HIGHEST       # exact for one-hot copies
+            xc = jnp.dot(rsel, xb, preferred_element_type=jnp.float32,
+                         precision=hp)                        # (TBr, rows)
+            yc = jnp.dot(rsel, yb, preferred_element_type=jnp.float32,
+                         precision=hp)
+            xr = jnp.sum(xc * dsel, axis=-1, keepdims=True)   # (TBr, 1)
+            yr = jnp.sum(yc * dsel, axis=-1, keepdims=True)
+            sqc = xc * xc + yc * yc
+            sqr = xr * xr + yr * yr
+            gram = xr * xc + yr * yc
+            d2 = sqr + sqc - 2.0 * gram
+            logits = jnp.where(excl_blk, -1e9, -d2 / tau)
+            w = jax.nn.softmax(logits, axis=-1) * nb_blk      # (TBr, rows)
+            for j in range(tblock):              # static unroll, TB small
+                if msg_in:
+                    mt = msg_scr[pl.ds(s + j, 1)][0].astype(jnp.float32)
+                else:
+                    mt = msg_ref[0, 0, pl.ds(s + j, 1)][0].astype(
+                        jnp.float32)
+                wj = jax.lax.slice(w, (j * rows, 0), ((j + 1) * rows, rows))
+                soc_scr[pl.ds(s + j, 1)] = _mm(wj, mt, cd, precision)[None]
+            return ip
+
         def fuse_and_gru(ip):
             """One full pass at (x_scr, y_scr) positions -> hs_scr filled."""
+            if tblock > 1 and ablate != "social":
+                if msg_in:
+                    @pl.when(ip == 0)
+                    def _():
+                        jax.lax.fori_loop(0, t_len, dec_step, 0)
+                if social_freeze:
+                    @pl.when(ip == 0)
+                    def _():
+                        jax.lax.fori_loop(
+                            0, t_len // tblock, soc_block, ip)
+                else:
+                    jax.lax.fori_loop(0, t_len // tblock, soc_block, ip)
             h_scr[:] = jnp.zeros((rows, d), jnp.float32)
             jax.lax.fori_loop(0, t_len, fused_step, ip)
     else:
@@ -592,6 +688,16 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
     gp = p_ioc["gru"][0]
     cd = dec_h.dtype
     fused_loop = _fused_loop_default()
+    # T-blocked social attention (see _social_tb_default): inference-only
+    # (the trainable forward keeps the path the backward kernel's parity
+    # claims were measured against), fused-loop only, and mutually
+    # exclusive with the band variant / the social ablation
+    tblock = 1
+    tb_req = _social_tb_default()
+    if (tb_req > 1 and fused_loop and not collect_iters
+            and not _social_band_default() and _ablate_default() != "social"):
+        tblock = max(dv for dv in range(1, min(tb_req, t) + 1)
+                     if t % dv == 0)
     kc = _pick_chunk(k, a, social_freeze=social_freeze,
                      fused_loop=fused_loop, conservative=collect_iters)
     chunks = k // kc
@@ -638,7 +744,8 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
         a_dim=a, kc=kc, collect_iters=bool(collect_iters),
         tent_mm=_tent_mm_default(), tent_bf16=_tent_bf16_default(),
         ablate=_ablate_default(), social_freeze=bool(social_freeze),
-        fused_loop=fused_loop, band=_social_band_default(), msg_in=msg_in)
+        fused_loop=fused_loop, band=_social_band_default(), msg_in=msg_in,
+        tblock=tblock)
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -696,8 +803,8 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
             pltpu.VMEM((t, rows), jnp.float32),        # future mask
             pltpu.VMEM((rows, d), jnp.float32),        # GRU state
             pltpu.VMEM((t, rows, 3 * d), jnp.float32),  # dec_h projection
-        ] + ([pltpu.VMEM((t, rows, d), jnp.float32)]    # frozen social pool
-             if social_freeze else [])
+        ] + ([pltpu.VMEM((t, rows, d), jnp.float32)]    # pooled social
+             if (social_freeze or tblock > 1) else [])  # (frozen/T-block)
           + ([pltpu.VMEM((t, rows, d), cd)]             # in-kernel messages
              if msg_in else []),
         interpret=interpret,

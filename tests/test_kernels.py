@@ -770,3 +770,55 @@ def test_pallas_backward_batch_wgrad_gradient_parity(freeze, band,
         np.testing.assert_allclose(
             np.asarray(af), np.asarray(ax), rtol=2e-3, atol=2e-4,
             err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("freeze", [False, True])
+@pytest.mark.parametrize("tb", [2, 3])
+def test_fused_ioc_social_tb_matches_per_step(tb, freeze, monkeypatch):
+    """DESIRE_SOCIAL_TB (T-blocked social attention: the d2/softmax chain
+    for TB steps on one (TB*rows, rows) tile, staged into the pooled-social
+    scratch) must match the per-step path BITWISE: the block form
+    broadcasts positions with exact one-hot-copy matmuls and composes
+    sq/gram/d2/softmax/nb-zeroing with the identical ops in the identical
+    order."""
+    from desire_tpu.models.ioc import _DELTA_SCALE
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    msg = scf.social_messages(p_scf, dec_h)
+
+    def run():
+        return ioc_refine_fused(
+            p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+            num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE,
+            interpret=True, social_freeze=freeze)
+
+    monkeypatch.setenv("DESIRE_SOCIAL_TB", "1")
+    base_t, base_s = run()
+    monkeypatch.setenv("DESIRE_SOCIAL_TB", str(tb))
+    blk_t, blk_s = run()
+    np.testing.assert_array_equal(np.asarray(blk_t), np.asarray(base_t))
+    np.testing.assert_array_equal(np.asarray(blk_s), np.asarray(base_s))
+
+
+def test_fused_ioc_social_tb_msg_inkernel_and_clamp(monkeypatch):
+    """T-block composes with the in-kernel message projection (msg=None):
+    the pass-0 pre-loop stages dec/msg before soc_block reads them. A
+    requested TB that doesn't divide T clamps to the largest divisor
+    (here 12 -> 6 at t=6) instead of miscomputing."""
+    from desire_tpu.models.ioc import _DELTA_SCALE
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+
+    def run():
+        return ioc_refine_fused(
+            p_ioc, p_scf, traj, dec_h, None, feat_map, live, fut_mask,
+            num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE,
+            interpret=True)
+
+    monkeypatch.setenv("DESIRE_SOCIAL_TB", "1")
+    base_t, base_s = run()
+    for req in ("3", "12"):
+        monkeypatch.setenv("DESIRE_SOCIAL_TB", req)
+        blk_t, blk_s = run()
+        np.testing.assert_array_equal(np.asarray(blk_t), np.asarray(base_t))
+        np.testing.assert_array_equal(np.asarray(blk_s), np.asarray(base_s))
