@@ -382,9 +382,41 @@ class DesireConfig:
 
     @classmethod
     def from_json(cls, s: str) -> "DesireConfig":
+        """Deserialize a saved config, preserving save-time behavior.
+
+        to_json() writes EVERY field, so a key absent from a saved
+        config.json means the field did not exist when the checkpoint
+        was written — the feature itself postdates the checkpoint. Such
+        keys must resolve to the pre-feature behavior (feature OFF),
+        not to today's dataclass default: several of these flags add
+        parameters (z_temp_learn: ztemp_fc1/fc2; cond_prior: the prior
+        net; learn_bound: bound scalars) or change activation shapes
+        (input_norm changes the embed width), so backfilling them with
+        a later-flipped default makes the orbax restore template
+        disagree with the saved tree and breaks restore/eval/resume of
+        every older checkpoint.
+        """
         d = json.loads(s)
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        vals = {k: v for k, v in d.items() if k in known}
+        for k, legacy in _PRE_FEATURE_DEFAULTS.items():
+            if k not in d:
+                vals[k] = legacy
+        return cls(**vals)
+
+
+# Fields added after round 1 whose current dataclass default differs from
+# the pre-feature behavior. DesireConfig.from_json resolves keys ABSENT
+# from a saved config.json to these values (the checkpoint predates the
+# feature), so restoring/evaluating/resuming old checkpoints keeps their
+# save-time semantics even after a default flip.
+_PRE_FEATURE_DEFAULTS = {
+    "z_temp_learn": False,   # learned speed->temp head (adds ztemp_fc1/fc2)
+    "cond_prior": False,     # conditional prior net (adds params)
+    "learn_bound": False,    # learned vel_gain/vel_floor scalars (adds params)
+    "input_norm": False,     # scale-free encoding (changes embed width)
+    "speed_norm": False,     # speed-adaptive residual bound (changes decode math)
+}
 
 
 def add_config_flags(parser, defaults: DesireConfig | None = None) -> None:

@@ -21,6 +21,8 @@ migrating from the reference.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import os
 from typing import Iterator
 
 import numpy as np
@@ -111,10 +113,8 @@ class SDDLoader:
         reader = _native_or_python_reader(use_native)
         self.videos: list[windows.VideoIndex] = []
         for rel, path in listing:
-            frames, ids, xs, ys = reader(path)
-            vi = windows.build_video_index(
-                rel, frames, ids, np.stack([xs, ys], -1),
-                subsample=subsample, normalize=cfg.normalize)
+            vi = _load_or_build_index(rel, path, reader,
+                                      subsample, cfg.normalize)
             if vi.num_steps >= self.total_len:
                 self.videos.append(vi)
         if not self.videos:
@@ -179,6 +179,59 @@ class SDDLoader:
         HBM-resident training)."""
         n = self.num_windows if limit is None else min(limit, self.num_windows)
         return self._assemble(self._pairs[:n])
+
+
+def _cache_dir() -> str:
+    return (os.environ.get("DESIRE_CACHE_DIR")
+            or os.path.join(os.path.expanduser("~"), ".cache", "desire_tpu"))
+
+
+def _load_or_build_index(rel: str, path: str, reader, subsample: int,
+                         normalize: bool) -> windows.VideoIndex:
+    """Parse+index one video, memoized to an npz keyed by the CSV's
+    identity (abspath, mtime, size) and the indexing parameters.
+
+    The reference cached its parsed tree to data/trajectories.cpkl
+    (/root/reference/utils/data_loader.py:52-64); this is the same idea
+    per-video, but keyed by content identity (a touched CSV re-parses
+    automatically — the reference's pickle went stale silently) and kept
+    OUTSIDE the data dir (which may be read-only). CLI sweeps that restart
+    the process dozens of times skip the 3.5M-record parse+index on every
+    start. Disable with DESIRE_DATA_CACHE=0; relocate with
+    DESIRE_CACHE_DIR.
+    """
+    cache_on = os.environ.get("DESIRE_DATA_CACHE", "1") == "1"
+    cpath = None
+    if cache_on:
+        try:
+            st = os.stat(path)
+            key = hashlib.sha1(
+                f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}|"
+                f"{subsample}|{normalize}|v1".encode()).hexdigest()[:20]
+            cpath = os.path.join(_cache_dir(), f"vi_{key}.npz")
+            if os.path.exists(cpath):
+                z = np.load(cpath, allow_pickle=False)
+                return windows.VideoIndex(
+                    name=rel, num_steps=int(z["num_steps"]),
+                    frame_ptr=z["frame_ptr"], rec_step=z["rec_step"],
+                    rec_ids=z["rec_ids"], rec_xy=z["rec_xy"],
+                    scale=float(z["scale"]))
+        except Exception:
+            cpath = None  # unreadable/corrupt cache entry: rebuild below
+    frames, ids, xs, ys = reader(path)
+    vi = windows.build_video_index(rel, frames, ids, np.stack([xs, ys], -1),
+                                   subsample=subsample, normalize=normalize)
+    if cpath is not None:
+        try:
+            os.makedirs(_cache_dir(), exist_ok=True)
+            tmp = f"{cpath}.tmp{os.getpid()}.npz"
+            np.savez(tmp, num_steps=vi.num_steps, frame_ptr=vi.frame_ptr,
+                     rec_step=vi.rec_step, rec_ids=vi.rec_ids,
+                     rec_xy=vi.rec_xy, scale=vi.scale)
+            os.replace(tmp, cpath)  # atomic: concurrent starts can't tear it
+        except Exception:
+            pass  # caching is best-effort; the parse result is already live
+    return vi
 
 
 def _python_reader(path: str):

@@ -240,25 +240,37 @@ def pit_values(raw5, gt, step_mask, agent_mask, sigma_temp=1.0):
     is u = mean_k Phi((x - mu_kx)/sx_k) (same for y). If the predictive
     distribution is calibrated, u is Uniform(0,1) over held-out data.
 
-    sigma_temp scales the predicted sigmas (post-hoc temperature: a scalar
-    fit on a train-video validation slice corrects the mild over-dispersion
-    the raw heads show held-out — see sampler.fit_sigma_temperature).
+    sigma_temp scales the predicted sigmas (post-hoc temperature fit on a
+    train-video validation slice — see sampler.fit_sigma_temperature).
+    Scalar tau: sigma * tau (corrects the center at the cost of the
+    tails). Pair (tau_center, tau_tail): each lane's Gaussian CDF becomes
+    the equal-weight two-scale mixture 0.5*Phi(z/tau_c) + 0.5*Phi(z/tau_t)
+    — a valid CDF whose density has a narrow center AND heavy tails, so
+    the 50% and 90% intervals calibrate independently (the scalar tau
+    structurally trades one for the other; RESULTS.md calibration).
 
     raw5 (B, A, K, T, 5); gt (B, A, T, 2); step_mask (B, A, T);
     agent_mask (B, A). Returns (u (B,A,T,2), weights (B,A,T)).
     """
     mux, muy, sx, sy, _ = losses.get_coef(raw5.astype(jnp.float32))
-    if sigma_temp != 1.0:
-        sx = sx * sigma_temp
-        sy = sy * sigma_temp
     gx = gt[..., None, :, 0]
     gy = gt[..., None, :, 1]
 
     def phi(z):
         return 0.5 * (1.0 + jax.scipy.special.erf(z / jnp.sqrt(2.0)))
 
-    ux = jnp.mean(phi((gx - mux) / sx), axis=-2)          # (B, A, T)
-    uy = jnp.mean(phi((gy - muy) / sy), axis=-2)
+    if isinstance(sigma_temp, (tuple, list)):
+        tc, tt = float(sigma_temp[0]), float(sigma_temp[1])
+        ux = jnp.mean(0.5 * phi((gx - mux) / (sx * tc))
+                      + 0.5 * phi((gx - mux) / (sx * tt)), axis=-2)
+        uy = jnp.mean(0.5 * phi((gy - muy) / (sy * tc))
+                      + 0.5 * phi((gy - muy) / (sy * tt)), axis=-2)
+    else:
+        if sigma_temp != 1.0:
+            sx = sx * sigma_temp
+            sy = sy * sigma_temp
+        ux = jnp.mean(phi((gx - mux) / sx), axis=-2)      # (B, A, T)
+        uy = jnp.mean(phi((gy - muy) / sy), axis=-2)
     w = step_mask * agent_mask[..., None]
     return jnp.stack([ux, uy], axis=-1), w
 

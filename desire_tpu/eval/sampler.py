@@ -145,27 +145,50 @@ def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
 _FIT_TEMPS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.15,
               1.3, 1.5)
 
+# (tau_center, tau_tail) grid for the two-parameter fit: each lane CDF
+# becomes the two-scale mixture 0.5*Phi(z/tc) + 0.5*Phi(z/tt) (see
+# metrics.pit_values), so the 50% interval is governed mostly by tc and
+# the 90% interval mostly by tt. The raw heads over-disperse the center
+# (tc < 1 expected) while the scalar fit showed tails go thin under
+# uniform shrinking (tt near or above 1 expected).
+_FIT_PAIR_TC = (0.05, 0.1, 0.15, 0.2, 0.3, 0.45, 0.65, 0.9)
+_FIT_PAIR_TT = (0.6, 0.8, 1.0, 1.3, 1.7, 2.2)
+_FIT_PAIRS = tuple((tc, tt) for tc in _FIT_PAIR_TC for tt in _FIT_PAIR_TT)
+
 
 def fit_sigma_temperature(params, cfg: DesireConfig, loader, *,
                           max_batches=40, k_samples=None, key=None,
-                          temps=_FIT_TEMPS, target=0.5):
-    """Post-hoc scalar sigma-temperature fit (VERDICT r3 item 9).
+                          temps=None, target=0.5, two_param=False):
+    """Post-hoc sigma-temperature fit (VERDICT r3 item 9 / r4 item 6).
 
-    Runs the model over a *train-split* validation slice, measures central
-    coverage@50 of the K-lane mixture at each temperature in `temps`, and
-    returns (tau, diagnostics) where tau is the linear-interpolated root of
-    coverage@50(tau) = target. Coverage is monotone increasing in tau
-    (larger sigma pulls PIT values toward 0.5), so the bracketing segment
-    is unique; tau is clipped to the grid ends if the target is outside.
+    Runs the model over a *train-split* validation slice and measures
+    central coverage of the K-lane mixture at each candidate temperature.
+
+    Scalar mode (two_param=False): returns (tau, diagnostics) where tau is
+    the linear-interpolated root of coverage@50(tau) = target. Coverage is
+    monotone increasing in tau in expectation (larger sigma pulls PIT
+    values toward 0.5); eval noise between adjacent grid points is removed
+    with a running max before the root find (ADVICE r4) so the bracketing
+    segment is well-defined. tau is clipped to the grid ends if the target
+    is outside.
+
+    Two-parameter mode (two_param=True): candidates are (tau_center,
+    tau_tail) pairs — per-lane two-scale CDF mixtures (metrics.pit_values)
+    — and the fit picks the grid pair minimizing the squared miss at BOTH
+    levels, (cov@50 - 0.5)^2 + (cov@90 - 0.9)^2. This removes the scalar
+    trade where fixing the over-dispersed center thins the 90% tails.
 
     The fitted tau is then applied to a held-out eval via
     ``evaluate(..., sigma_temps=(1.0, tau))`` so the corrected coverage is
     exact, not interpolated.
     """
     key = key if key is not None else jax.random.PRNGKey(cfg.seed + 3)
+    if temps is None:
+        temps = _FIT_PAIRS if two_param else _FIT_TEMPS
     step = make_eval_step(cfg, k_samples=k_samples, calibration=True,
                           sigma_temps=tuple(temps))
     cov = np.zeros(len(temps))
+    cov90 = np.zeros(len(temps))
     n = 0.0
     for bi, batch in enumerate(loader.epoch_batches(0)):
         if bi >= max_batches:
@@ -177,19 +200,32 @@ def fit_sigma_temperature(params, cfg: DesireConfig, loader, *,
         for j in range(len(temps)):
             suff = "" if j == 0 else f"_t{j}"
             cov[j] += float(res[f"cov_50{suff}"])
+            cov90[j] += float(res[f"cov_90{suff}"])
         n += float(res["cov_w"])
     cov = cov / max(n, 1e-8)
-    # monotone root find by linear interpolation on the grid
-    if target <= cov[0]:
+    cov90 = cov90 / max(n, 1e-8)
+    if two_param:
+        err = (cov - target) ** 2 + (cov90 - 0.9) ** 2
+        j = int(np.argmin(err))
+        tau = tuple(float(t) for t in temps[j])
+        return tau, {"temps": [list(t) for t in temps],
+                     "coverage_50": [float(c) for c in cov],
+                     "coverage_90": [float(c) for c in cov90],
+                     "fit_weight": float(n)}
+    # enforce monotonicity (eval noise can locally unsort the grid), then
+    # root-find by linear interpolation
+    cov_m = np.maximum.accumulate(cov)
+    if target <= cov_m[0]:
         tau = temps[0]
-    elif target >= cov[-1]:
+    elif target >= cov_m[-1]:
         tau = temps[-1]
     else:
-        j = int(np.searchsorted(cov, target)) - 1
-        f = (target - cov[j]) / max(cov[j + 1] - cov[j], 1e-8)
+        j = int(np.searchsorted(cov_m, target, side="right")) - 1
+        f = (target - cov_m[j]) / max(cov_m[j + 1] - cov_m[j], 1e-8)
         tau = temps[j] + f * (temps[j + 1] - temps[j])
     return float(tau), {"temps": list(temps),
                         "coverage_50": [float(c) for c in cov],
+                        "coverage_90": [float(c) for c in cov90],
                         "fit_weight": float(n)}
 
 
@@ -367,8 +403,9 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
             # corrected report at the post-hoc fitted temperature (exact —
             # the step computed PIT at that tau, no interpolation)
             p1, ks1 = cal_stats(1)
+            t1 = sigma_temps[1]
             result["calibration"].update({
-                "sigma_temp": sigma_temps[1],
+                "sigma_temp": list(t1) if isinstance(t1, (tuple, list)) else t1,
                 "pit_ks_cal": ks1,
                 "coverage_50_cal": cal_acc["cov"][1][0.5] / n,
                 "coverage_90_cal": cal_acc["cov"][1][0.9] / n,

@@ -61,9 +61,14 @@ def _batch_wgrad_default():
     different order (gradient-parity tested).
 
     Measured (r4 on-chip A/B, v5e, B=64 A=60 K=20): train 239.2 vs
-    242.8 ms/step — DEFAULT ON since round 4."""
+    242.8 ms/step. DEFAULT flipped back OFF in round 5: the 100-epoch
+    controlled pair (save/r4_flagship2 WGRAD=1 vs save/r4_flagship3
+    WGRAD=0, identical recipe/seed otherwise) shows the reordered f32
+    accumulation costs ~1.5 px held-out minADE@20 (15.69 vs 14.12 best
+    epoch; final 16.77 vs 14.55) — a numerics regression the 3.6 ms
+    train-step win does not justify."""
     import os
-    return os.environ.get("DESIRE_IOC_BATCH_WGRAD", "1") == "1"
+    return os.environ.get("DESIRE_IOC_BATCH_WGRAD", "0") == "1"
 
 
 def _mmf(a, b, cd, precision):

@@ -30,17 +30,33 @@ def _replicated_to_host(x):
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 3):
+    def __init__(self, directory: str, keep: int = 3,
+                 keep_best_metric: str | None = None):
+        """keep_best_metric: when set, retention keeps the `keep` BEST
+        checkpoints by this (minimized) metric key instead of the latest
+        `keep` — the candidate pool for the end-of-training full-split
+        selection (train.py --final_select_top; VERDICT r4 item 8)."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        opts = dict(max_to_keep=keep, create=True)
+        if keep_best_metric is not None:
+            opts.update(best_fn=lambda m: m[keep_best_metric],
+                        best_mode="min")
         self._mgr = ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep,
-                                                 create=True),
+            options=ocp.CheckpointManagerOptions(**opts),
         )
 
+    def all_steps(self) -> list[int]:
+        return sorted(self._mgr.all_steps())
+
+    def restore_step(self, step: int, template_state: TrainState
+                     ) -> tuple[TrainState, LoaderState] | None:
+        return self._restore_at(step, template_state)
+
     def save(self, state: TrainState, loader_state: LoaderState,
-             cfg: DesireConfig, wait: bool = False) -> None:
+             cfg: DesireConfig, wait: bool = False,
+             metrics: dict | None = None) -> None:
         if jax.process_count() > 1:
             # multi-host: train state is replicated (trainer out_shardings),
             # so process 0 alone writes; other hosts' data is identical.
@@ -59,7 +75,8 @@ class CheckpointManager:
             "loader_epoch": np.asarray(loader_state.epoch),
             "loader_batch": np.asarray(loader_state.batch_index),
         }
-        self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
+        self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload),
+                       metrics=metrics)
         with open(os.path.join(self.directory, "config.json"), "w") as f:
             f.write(cfg.to_json())
         if wait:
@@ -70,7 +87,10 @@ class CheckpointManager:
 
     def restore(self, template_state: TrainState
                 ) -> tuple[TrainState, LoaderState] | None:
-        step = self._mgr.latest_step()
+        return self._restore_at(self._mgr.latest_step(), template_state)
+
+    def _restore_at(self, step: int | None, template_state: TrainState
+                    ) -> tuple[TrainState, LoaderState] | None:
         if step is None:
             return None
         template = {

@@ -73,10 +73,15 @@ def main(argv=None):
                         help="add PIT/coverage calibration statistics of the "
                              "gaussian heads")
     parser.add_argument("--calib_fit_batches", type=int, default=40,
-                        help="with --calibration: fit a post-hoc scalar "
+                        help="with --calibration: fit a post-hoc "
                              "sigma-temperature on this many TRAIN-split "
                              "batches and report corrected coverage next to "
                              "the raw numbers (0 disables the fit)")
+    parser.add_argument("--calib_two_param", type=int, default=1,
+                        help="fit a (tau_center, tau_tail) two-scale "
+                             "temperature (calibrates 50%% AND 90%% "
+                             "coverage) instead of the scalar tau (which "
+                             "trades the tails for the center)")
     parser.add_argument("--speed_bins", type=str, default="",
                         help="comma-separated px/step boundaries (e.g. "
                              "'2,8,20') — adds an observed-speed-class error "
@@ -144,12 +149,18 @@ def main(argv=None):
         # (never the split being reported), then report exact corrected
         # coverage at that tau next to the raw numbers
         from desire_tpu.eval.sampler import fit_sigma_temperature
-        fit_split = "train" if cfg.holdout != "none" else None
-        fit_loader = loader if (split == fit_split) else SDDLoader(
-            cfg, split=fit_split, drop_remainder=False)
-        tau, fit_diag = fit_sigma_temperature(
-            params, cfg, fit_loader, max_batches=args.calib_fit_batches)
-        sigma_temps = (1.0, tau)
+        if cfg.holdout == "none":
+            # no disjoint split exists — fitting here would be in-sample on
+            # the exact data being reported; skip and say so (ADVICE r4)
+            fit_diag = {"skipped": "holdout='none': no disjoint fit split"}
+        else:
+            fit_split = "train"
+            fit_loader = loader if (split == fit_split) else SDDLoader(
+                cfg, split=fit_split, drop_remainder=False)
+            tau, fit_diag = fit_sigma_temperature(
+                params, cfg, fit_loader, max_batches=args.calib_fit_batches,
+                two_param=bool(args.calib_two_param))
+            sigma_temps = (1.0, tau)
 
     result = evaluate(params, cfg, loader,
                       max_batches=args.max_eval_batches or None,

@@ -142,6 +142,49 @@ def test_determinism_and_resume(micro_tree):
         np.testing.assert_array_equal(a.xy, b.xy)
 
 
+def test_video_index_cache_roundtrip(micro_tree, tmp_path, monkeypatch):
+    """The npz VideoIndex cache (VERDICT r4 item 10): the second loader
+    start must serve identical indices from cache without re-reading the
+    CSVs, and a touched CSV must invalidate its entry (the reference's
+    trajectories.cpkl went stale silently — utils/data_loader.py:52-64)."""
+    from desire_tpu.data import loader as L
+    monkeypatch.setenv("DESIRE_CACHE_DIR", str(tmp_path / "cache"))
+    cfg = DesireConfig(protocol="paper", obs_len=2, pred_len=1, subsample=2,
+                       batch_size=2, max_num_obj=4, window_hop=1,
+                       holdout="none", data_dir=micro_tree)
+    l1 = L.SDDLoader(cfg)
+    entries = list((tmp_path / "cache").glob("vi_*.npz"))
+    assert len(entries) == 2  # one per video
+
+    calls = {"n": 0}
+    real = L._native_or_python_reader(True)
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(L, "_native_or_python_reader", lambda use: counting)
+    l2 = L.SDDLoader(cfg)
+    assert calls["n"] == 0  # served entirely from cache
+    assert l2.num_windows == l1.num_windows
+    for a, b in zip(l1.videos, l2.videos):
+        assert a.name == b.name and a.scale == b.scale
+        np.testing.assert_array_equal(a.frame_ptr, b.frame_ptr)
+        np.testing.assert_array_equal(a.rec_xy, b.rec_xy)
+        np.testing.assert_array_equal(a.rec_ids, b.rec_ids)
+
+    # touching a CSV re-parses it (content-identity key)
+    p = os.path.join(micro_tree, "sceneA/video0/annotations_processed.csv")
+    os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 7))
+    L.SDDLoader(cfg)
+    assert calls["n"] == 1
+
+    # kill switch
+    monkeypatch.setenv("DESIRE_DATA_CACHE", "0")
+    L.SDDLoader(cfg)
+    assert calls["n"] == 3
+
+
 def test_scene_filter_and_missing_dir(micro_tree, tmp_path):
     cfg = DesireConfig(protocol="paper", obs_len=3, pred_len=2, subsample=1,
                        max_num_obj=4, window_hop=1, batch_size=2,

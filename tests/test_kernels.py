@@ -524,6 +524,45 @@ def test_fused_sgm_sampler_lane_chunked_matches_single_chunk():
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_fused_sgm_sampler_sharded_matches_unsharded():
+    """sgm_sample_decode_fused_sharded (VERDICT r4 item 3): the shard_map
+    wrapper over a (data=4, k=2) mesh — rows over 'data', lanes over 'k',
+    no collectives — must reproduce the unsharded kernel exactly (every
+    (row, lane) is independent; each k-shard recomputes its rows' encoder
+    locally)."""
+    from desire_tpu.config import DesireConfig
+    from desire_tpu.models import layers as L
+    from desire_tpu.models import sgm
+    from desire_tpu.ops.sgm_fused import (sgm_sample_decode_fused,
+                                          sgm_sample_decode_fused_sharded)
+    from desire_tpu.parallel import mesh as mesh_mod
+
+    cfg = DesireConfig(obs_len=5, pred_len=6, num_samples=4, d_dim=16,
+                       latent_size=8, embedding_size=8,
+                       channel_multiplier=10, compute_dtype="float32",
+                       rnn_size=128, input_norm=False)
+    p = sgm.init_sgm(jax.random.PRNGKey(0), cfg)
+    n = 16                                  # 4 rows per data shard
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (n, cfg.obs_len, 2))
+    m_o = jnp.ones((n, cfg.obs_len)).at[3, :2].set(0.0)
+    origin = obs[:, -1]
+    rel = (obs - origin[:, None]) * m_o[..., None]
+    feats = jax.nn.relu(L.dense(p["embed_x"], sgm._traj_feats(rel, m_o)))
+    rho_seed = jax.nn.relu(L.dense(
+        p["rho_proj"], sgm.temporal_features(p, rel, m_o)))
+    eps = jax.random.normal(jax.random.PRNGKey(2),
+                            (n, cfg.num_samples, cfg.latent_size))
+
+    ref = sgm_sample_decode_fused(p, feats, m_o, rho_seed, eps,
+                                  cfg.pred_len, interpret=True)
+    mesh = mesh_mod.make_mesh(4, 2)
+    got = sgm_sample_decode_fused_sharded(mesh, p, feats, m_o, rho_seed,
+                                          eps, cfg.pred_len, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 @pytest.mark.parametrize("tent_mm,freeze", [("0", False), ("1", False),
                                             ("0", True), ("1", True)])
 def test_pallas_backward_ioc_gradient_parity(tent_mm, freeze, monkeypatch):
@@ -732,7 +771,8 @@ def test_fused_ioc_msg_inkernel_matches_precomputed(freeze, band,
     np.testing.assert_array_equal(np.asarray(ink_s), np.asarray(ref_s))
 
 
-@pytest.mark.parametrize("freeze,band", [(False, "0"), (True, "1")])
+@pytest.mark.parametrize("freeze,band",
+                         [(False, "0"), (True, "1"), (True, "0")])
 def test_pallas_backward_batch_wgrad_gradient_parity(freeze, band,
                                                      monkeypatch):
     """DESIRE_IOC_BATCH_WGRAD (per-pass batched weight-gradient

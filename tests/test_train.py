@@ -258,6 +258,42 @@ def test_fault_injection_auto_recovery(env, tmp_path, monkeypatch):
                for l in jax.tree_util.tree_leaves(got[0].params))
 
 
+def test_final_best_selection_full_split(env, tmp_path):
+    """--final_select_top (VERDICT r4 item 8): training keeps a best-N
+    candidate pool by the subset per-epoch eval, then re-evaluates the
+    candidates on the FULL held-out split and best/ holds the full-split
+    winner; every candidate's full number is logged (the measured
+    subset-vs-full agreement)."""
+    import json
+    import shutil
+
+    import train as train_mod
+
+    # two identical videos in one scene -> holdout='video' holds out one
+    data_dir = str(tmp_path / "data")
+    shutil.copytree(os.path.join(env["data_dir"], "scene"),
+                    os.path.join(data_dir, "scene"))
+    shutil.copytree(os.path.join(env["data_dir"], "scene/video0"),
+                    os.path.join(data_dir, "scene/video1"))
+    cfg = micro_cfg(data_dir, save_dir=str(tmp_path / "ckpt"), num_epochs=3,
+                    save_every=10_000, holdout="video")
+    train_mod.train(cfg, eval_every=1, max_eval_batches=1,
+                    final_select_top=2)
+
+    events = [json.loads(l) for l in
+              open(os.path.join(cfg.save_dir, "metrics.jsonl"))]
+    cands = [e for e in events if e["event"] == "final_select_candidate"]
+    final = [e for e in events if e["event"] == "final_select"]
+    assert 1 <= len(cands) <= 2 and len(final) == 1
+    assert all(np.isfinite(c["minADE_px"]) for c in cands)
+    winner = min(cands, key=lambda c: c["minADE_px"])
+    assert final[0]["step"] == winner["step"]
+    # best/ restores and holds exactly the winner step
+    best_mgr = ckpt_mod.CheckpointManager(os.path.join(cfg.save_dir, "best"))
+    got = best_mgr.restore(_fresh_state(env))
+    assert got is not None and int(got[0].step) == winner["step"]
+
+
 def test_nonfinite_epoch_raises_without_manager(env):
     """Without a checkpoint manager the failure must fail fast (raise), not
     silently return a NaN epoch mean."""
@@ -534,6 +570,90 @@ def test_sigma_temperature_fit_and_corrected_coverage(env):
             "pit_ks_cal"} <= set(cal)
     assert cal["sigma_temp"] == tau
     assert 0.0 <= cal["coverage_50_cal"] <= 1.0
+
+
+def test_two_param_sigma_temperature(env):
+    """(tau_center, tau_tail) calibration (VERDICT r4 item 6): when the
+    truth is a two-scale mixture around the predicted means, NO scalar tau
+    calibrates both the 50% and 90% intervals, but the matching pair does
+    (pit_values' two-scale CDF then equals the true distribution), and the
+    grid fit picks a pair that fixes both levels."""
+    rng = np.random.default_rng(2)
+    b, a, k, t = 1, 1, 4, 6000
+    # nearly-coincident lanes: the per-lane noise SHAPE (not between-lane
+    # spread) must dominate for the scalar-vs-pair distinction to bite
+    mu = rng.normal(0, 0.05, (b, a, k, t, 2)).astype(np.float32)
+    sigma = 0.7
+    raw5 = np.concatenate([
+        mu, np.full((b, a, k, t, 2), np.log(sigma), np.float32),
+        np.zeros((b, a, k, t, 1), np.float32)], axis=-1)
+    lane = rng.integers(0, k, (b, a, t))
+    picked = np.take_along_axis(mu, lane[..., None, :, None], axis=2)[:, :, 0]
+    # truth noise: equal mixture of a narrow (0.2 sigma) and a wide
+    # (1.7 sigma) component -> the claimed N(mu, sigma) over-disperses the
+    # center and under-disperses the tails simultaneously
+    tc_true, tt_true = 0.2, 1.7
+    wide = rng.random(picked.shape[:-1] + (1,)) < 0.5
+    noise = np.where(wide, rng.normal(0, sigma * tt_true, picked.shape),
+                     rng.normal(0, sigma * tc_true, picked.shape))
+    gt = (picked + noise).astype(np.float32)
+    sm, am = jnp.ones((b, a, t)), jnp.ones((b, a))
+
+    # the matching pair calibrates BOTH levels
+    u2, w = M.pit_values(jnp.asarray(raw5), jnp.asarray(gt), sm, am,
+                         sigma_temp=(tc_true, tt_true))
+    cov2 = M.coverage(u2, w)
+    assert abs(cov2[0.5] - 0.5) < 0.04, cov2
+    assert abs(cov2[0.9] - 0.9) < 0.04, cov2
+
+    # every scalar tau on the fit grid misses at least one level by more
+    from desire_tpu.eval.sampler import _FIT_TEMPS
+    worst_best = 1e9
+    for tau in _FIT_TEMPS:
+        us, _ = M.pit_values(jnp.asarray(raw5), jnp.asarray(gt), sm, am,
+                             sigma_temp=float(tau))
+        cs = M.coverage(us, w)
+        worst_best = min(worst_best,
+                         max(abs(cs[0.5] - 0.5), abs(cs[0.9] - 0.9)))
+    assert worst_best > 0.05, worst_best
+
+    # end-to-end: the two-param fit runs on the micro loader and evaluate()
+    # reports the pair + exact corrected coverage keys
+    from desire_tpu.eval.sampler import fit_sigma_temperature
+    cfg, loader = env["cfg"], env["loader"]
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    pairs = ((0.2, 1.0), (0.5, 1.4), (1.0, 1.0))  # tiny grid: CPU test
+    tau, diag = fit_sigma_temperature(params, cfg, loader, max_batches=1,
+                                      two_param=True, temps=pairs)
+    assert isinstance(tau, tuple) and len(tau) == 2
+    assert list(tau) in [list(p) for p in pairs]
+    assert len(diag["coverage_50"]) == len(pairs)
+    assert len(diag["coverage_90"]) == len(pairs)
+    res = evaluate(params, cfg, loader, max_batches=1, calibration=True,
+                   sigma_temps=(1.0, tau))
+    cal = res["calibration"]
+    assert cal["sigma_temp"] == list(tau)
+    assert 0.0 <= cal["coverage_90_cal"] <= 1.0
+
+
+def test_config_absent_keys_keep_save_time_behavior():
+    """ADVICE r4 (medium): a key absent from a saved config.json means the
+    checkpoint PREDATES the feature — from_json must resolve it to the
+    pre-feature behavior (off), not today's default, or the orbax restore
+    template gains param leaves the saved tree lacks (z_temp_learn et al.)
+    and every older checkpoint fails to restore."""
+    import json as _json
+    from desire_tpu.config import DesireConfig, _PRE_FEATURE_DEFAULTS
+    cfg = DesireConfig()
+    d = _json.loads(cfg.to_json())
+    for k in _PRE_FEATURE_DEFAULTS:
+        del d[k]
+    old = DesireConfig.from_json(_json.dumps(d))
+    for k, legacy in _PRE_FEATURE_DEFAULTS.items():
+        assert getattr(old, k) == legacy, k
+    # present keys are honored verbatim (no blanket override)
+    assert DesireConfig.from_json(cfg.to_json()).z_temp_learn \
+        == cfg.z_temp_learn
 
 
 def test_best_of_k_by_score():
