@@ -96,12 +96,27 @@ class DesireConfig:
     scene_image_channels: int = 0  # optional per-scene imagery channels
     #                              concatenated into the occupancy raster
     #                              (models/scf.py: the paper's scene CNN
-    #                              pools camera-image features; the checked-
-    #                              in SDD layout ships no imagery, so the
-    #                              default raster is occupancy-only; with a
-    #                              (B, G, G, Ci) image passed to
-    #                              desire_forward(scene_image=...) the scene
-    #                              CNN consumes occupancy + imagery)
+    #                              pools camera-image features; with
+    #                              channels > 0 the loader attaches a
+    #                              per-video (G, G, Ci) raster to every
+    #                              batch — see scene_image_source — and the
+    #                              scene CNN consumes occupancy + imagery)
+    scene_image_source: str = "occupancy"  # where the per-video raster comes
+    #                              from when scene_image_channels > 0:
+    #                              'occupancy' = a long-term occupancy prior
+    #                              aggregated over ALL of the video's
+    #                              records (log1p-normalized; the static
+    #                              "walkability layout" role the paper's
+    #                              camera frame plays — the checked-in SDD
+    #                              layout ships no imagery). Caveat: the
+    #                              aggregate includes every window's future
+    #                              steps (~1e-4 of the mass each), so it is
+    #                              a scene-level prior, not a per-window
+    #                              oracle. Any other value = a directory
+    #                              holding <scene>/<video>/reference.{jpg,
+    #                              png,npy} camera frames, resampled onto
+    #                              the isotropic [0,1]^2 annotation frame
+    #                              (1 channel = grayscale, 3 = RGB)
     use_social: bool = True      # social (neighbor) pooling inside SCF
 
     # ---- loss weights ----

@@ -55,6 +55,8 @@ class Batch:
     ids: np.ndarray      # (B, A) int64 agent ids (0 = empty)
     video: np.ndarray    # (B,) int32 video index
     scale: np.ndarray    # (B,) float32 de-normalization scale
+    image: np.ndarray | None = None  # (B, G, G, Ci) per-video scene raster
+    #                                  (cfg.scene_image_channels > 0 only)
 
     @property
     def batch_size(self) -> int:
@@ -121,6 +123,16 @@ class SDDLoader:
             raise FileNotFoundError(
                 f"no usable annotations_processed.csv under {self.data_dir}")
 
+        # per-video scene raster table (the paper's scene-CNN imagery input;
+        # reference stub at /root/reference/model/model.py:291-311):
+        # (V, G, G, Ci), gathered per window in _assemble
+        self.scene_rasters: np.ndarray | None = None
+        if cfg.scene_image_channels > 0:
+            self.scene_rasters = np.stack([
+                _video_raster(v, cfg.scene_grid, cfg.scene_image_channels,
+                              cfg.scene_image_source)
+                for v in self.videos])
+
         # Global (video, start) enumeration.
         pairs = []
         for vidx, v in enumerate(self.videos):
@@ -152,7 +164,10 @@ class SDDLoader:
                 v, int(start), T, self.obs_len, A, self.require_full_obs)
             video[i] = vidx
             scale[i] = v.scale
-        return Batch(xy=xy, mask=mask, ids=ids, video=video, scale=scale)
+        image = (None if self.scene_rasters is None
+                 else self.scene_rasters[video])
+        return Batch(xy=xy, mask=mask, ids=ids, video=video, scale=scale,
+                     image=image)
 
     def epoch_batches(self, epoch: int, start_batch: int = 0,
                       rows: np.ndarray | None = None) -> Iterator[Batch]:
@@ -179,6 +194,54 @@ class SDDLoader:
         HBM-resident training)."""
         n = self.num_windows if limit is None else min(limit, self.num_windows)
         return self._assemble(self._pairs[:n])
+
+
+def _video_raster(v: windows.VideoIndex, grid: int, channels: int,
+                  source: str) -> np.ndarray:
+    """One video's (G, G, Ci) scene raster (cfg.scene_image_source)."""
+    if source == "occupancy":
+        if channels != 1:
+            raise ValueError("scene_image_source='occupancy' is 1-channel "
+                             f"(got scene_image_channels={channels})")
+        return windows.occupancy_prior(v, grid)
+    # a directory of camera frames: <source>/<scene>/<video>/reference.*
+    base = os.path.join(source, v.name)
+    for ext in ("npy", "jpg", "jpeg", "png"):
+        path = os.path.join(base, f"reference.{ext}")
+        if os.path.exists(path):
+            break
+    else:
+        raise FileNotFoundError(
+            f"no reference.(npy|jpg|jpeg|png) under {base} "
+            f"(scene_image_source={source!r})")
+    if path.endswith(".npy"):
+        img = np.asarray(np.load(path), dtype=np.float32)
+        if img.ndim == 2:
+            img = img[..., None]
+    else:
+        from PIL import Image
+        mode = "L" if channels == 1 else "RGB"
+        img = np.asarray(Image.open(path).convert(mode),
+                         dtype=np.float32) / 255.0
+        if img.ndim == 2:
+            img = img[..., None]
+    if img.shape[-1] != channels:
+        raise ValueError(f"{path}: {img.shape[-1]} channels, config wants "
+                         f"{channels}")
+    # resample onto the isotropic [0,1]^2 annotation frame: coordinates are
+    # normalized by ONE scale (windows.build_video_index), so the image sits
+    # in a square of side v.scale pixels; grid cell (gy, gx) samples the
+    # pixel at ((gy+.5), (gx+.5)) * scale/G (nearest; out-of-frame = 0)
+    out = np.zeros((grid, grid, channels), np.float32)
+    h, w = img.shape[:2]
+    cs = (np.arange(grid, dtype=np.float64) + 0.5) * v.scale / grid
+    yi = np.round(cs - 0.5).astype(np.int64)
+    xi = yi.copy()
+    ym = yi < h
+    xm = xi < w
+    out[np.ix_(ym, xm)] = img[np.clip(yi[ym], 0, h - 1)][:,
+                              np.clip(xi[xm], 0, w - 1)]
+    return out
 
 
 def _cache_dir() -> str:

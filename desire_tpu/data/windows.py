@@ -86,6 +86,34 @@ def window_starts(v: VideoIndex, total_len: int, hop: int) -> np.ndarray:
     return np.arange(0, v.num_steps - total_len + 1, hop, dtype=np.int64)
 
 
+def occupancy_prior(v: VideoIndex, grid: int) -> np.ndarray:
+    """Long-term occupancy prior: bilinear splat of ALL of the video's
+    records onto a (grid, grid) raster, log1p-normalized to [0, 1].
+
+    This is the scene-layout signal the paper's camera frame carries
+    (walkable paths, obstacles, entry points) derived from the data itself
+    — the checked-in SDD layout ships no imagery (SURVEY §0). Returned
+    shape (grid, grid, 1), indexed [y][x] like scf.rasterize_occupancy's
+    feature maps.
+    """
+    counts = np.zeros((grid, grid), dtype=np.float64)
+    if len(v.rec_xy):
+        xy = np.clip(v.rec_xy.astype(np.float64), 0.0, 1.0) * (grid - 1)
+        x0 = np.floor(xy[:, 0]).astype(np.int64)
+        y0 = np.floor(xy[:, 1]).astype(np.int64)
+        fx = xy[:, 0] - x0
+        fy = xy[:, 1] - y0
+        x1 = np.minimum(x0 + 1, grid - 1)
+        y1 = np.minimum(y0 + 1, grid - 1)
+        np.add.at(counts, (y0, x0), (1 - fx) * (1 - fy))
+        np.add.at(counts, (y0, x1), fx * (1 - fy))
+        np.add.at(counts, (y1, x0), (1 - fx) * fy)
+        np.add.at(counts, (y1, x1), fx * fy)
+    r = np.log1p(counts)
+    r /= max(float(r.max()), 1e-8)
+    return r[..., None].astype(np.float32)
+
+
 def materialize_window(v: VideoIndex, start: int, total_len: int,
                        obs_len: int, max_num_obj: int,
                        require_full_obs: bool = True):

@@ -25,10 +25,11 @@ from desire_tpu.train.trainer import batch_to_device
 def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
     """Returns jitted fn(params, xy, mask, ids, key) ->
     dict(traj (B,A,K,T,2), scores, best (B,A,T,2))."""
-    def fn(params, xy, mask, ids, key):
+    def fn(params, xy, mask, ids, key, img=None):
         k1, k2 = jax.random.split(key)
         out = desire.desire_forward(params, cfg, xy, mask, ids, key=k1,
-                                    k_samples=k_samples, train=False)
+                                    k_samples=k_samples, train=False,
+                                    scene_image=img)
         traj = out["refined_traj"]
         if stochastic:
             # draw positions from the SGM per-step gaussians, then re-apply
@@ -59,7 +60,7 @@ def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
     This fuses everything into a single dispatch returning small per-agent
     (B, A) arrays; host-side numpy does the scene/speed-bin grouping.
     """
-    def fn(params, xy, mask, ids, key, scale):
+    def fn(params, xy, mask, ids, key, scale, img=None):
         k1, _ = jax.random.split(key)   # same split as make_sampler -> the
         #                                 fused path reproduces its draws
         zt = None
@@ -77,7 +78,7 @@ def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
             zt = jnp.where(spd >= z_temp_px, z_temp_fast, 1.0)
         out = desire.desire_forward(params, cfg, xy, mask, ids, key=k1,
                                     k_samples=k_samples, train=False,
-                                    z_temp=zt)
+                                    z_temp=zt, scene_image=img)
         traj = out["refined_traj"].astype(jnp.float32)
         scores = out["scores"]
         if scores is None:
@@ -193,10 +194,10 @@ def fit_sigma_temperature(params, cfg: DesireConfig, loader, *,
     for bi, batch in enumerate(loader.epoch_batches(0)):
         if bi >= max_batches:
             break
-        xy, mask, ids = batch_to_device(batch)
+        xy, mask, ids, *img = batch_to_device(batch)
         key, sub = jax.random.split(key)
         res = jax.device_get(step(params, xy, mask, ids, sub,
-                                  jnp.asarray(batch.scale)))
+                                  jnp.asarray(batch.scale), *img))
         for j in range(len(temps)):
             suff = "" if j == 0 else f"_t{j}"
             cov[j] += float(res[f"cov_50{suff}"])
@@ -290,10 +291,10 @@ def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
     for bi, batch in enumerate(loader.epoch_batches(epoch)):
         if max_batches is not None and bi >= max_batches:
             break
-        xy, mask, ids = batch_to_device(batch)
+        xy, mask, ids, *img = batch_to_device(batch)
         key, sub = jax.random.split(key)
         res = jax.device_get(step(params, xy, mask, ids, sub,
-                                  jnp.asarray(batch.scale)))
+                                  jnp.asarray(batch.scale), *img))
         w = res["valid"]                                  # (B, A) weights
 
         def wsum(x, wt=w):
@@ -431,9 +432,9 @@ def dump_trajectories(params, cfg: DesireConfig, loader, path, *,
     for bi, batch in enumerate(loader.epoch_batches(0)):
         if bi >= num_batches:
             break
-        xy, mask, ids = batch_to_device(batch)
+        xy, mask, ids, *img = batch_to_device(batch)
         key, sub = jax.random.split(key)
-        out = sampler(params, xy, mask, ids, sub)
+        out = sampler(params, xy, mask, ids, sub, *img)
         rec = {"obs_xy": out["obs_xy"], "obs_mask": out["obs_mask"],
                "fut_xy": out["fut_xy"], "fut_mask": out["fut_mask"],
                "traj": out["traj"], "scores": out["scores"],

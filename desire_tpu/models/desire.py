@@ -188,7 +188,7 @@ def desire_forward(params, cfg: DesireConfig, xy, mask, ids, *, key,
 
 
 def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
-                k_samples=None):
+                k_samples=None, scene_image=None):
     """Multi-task training loss + metrics.
 
     NLL term: per the reference semantics (C14/C16) the bivariate NLL is
@@ -201,7 +201,8 @@ def desire_loss(params, cfg: DesireConfig, xy, mask, ids, *, key, step=None,
     """
     key, k_lanes = jax.random.split(key)
     out = desire_forward(params, cfg, xy, mask, ids, key=key,
-                         k_samples=k_samples, train=True)
+                         k_samples=k_samples, train=True,
+                         scene_image=scene_image)
     fut_xy, fut_mask, live = out["fut_xy"], out["fut_mask"], out["live"]
     f32 = jnp.float32
     # loss mask: an agent must have at least one valid future step —

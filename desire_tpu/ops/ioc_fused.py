@@ -616,6 +616,17 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
     out_y_ref[0, 0] = y_scr[:]
 
 
+def _fwd_vmem_limit():
+    """Scoped-VMEM cap for the inference-forward pallas_call
+    (DESIRE_IOC_VMEM_MB, default 64). The backward kernel has run at 100M
+    and the SGM sampler at 96M on v5e since round 3; the forward was the
+    only kernel still compiled under the ~16M default, which is what
+    rejected the 640/1280-row chunk probes in round 4 (grid cells run
+    serially, so fewer+bigger chunks are the measured perf frontier —
+    _pick_chunk docstring)."""
+    return int(os.environ.get("DESIRE_IOC_VMEM_MB", "64")) * 2**20
+
+
 def _pick_chunk(k, a_pad, max_rows=None, social_freeze=False,
                 fused_loop=True, conservative=False):
     """Largest divisor of K whose chunk keeps rows = KC*A_pad <= max_rows
@@ -640,6 +651,12 @@ def _pick_chunk(k, a_pad, max_rows=None, social_freeze=False,
     margin, and an AOT OOM killed a full training queue once already."""
     if max_rows is None:
         max_rows = int(os.environ.get("DESIRE_IOC_MAX_ROWS", 320))
+        # Round-5 finding: the r4 640/1280-row "AOT-OOM at the 16M limit"
+        # was against the compiler's DEFAULT scoped-vmem cap — the forward
+        # pallas_call never raised vmem_limit_bytes the way the backward
+        # (100M) and the SGM sampler (96M) do. With _fwd_vmem_limit() the
+        # 640-row chunk is compilable; whether it WINS is an on-chip
+        # question (r5 queue: rows sweep at the raised limit).
     if social_freeze and (conservative or not fused_loop):
         max_rows = min(max_rows, 256)
     best = 1
@@ -807,6 +824,8 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
              if (social_freeze or tblock > 1) else [])  # (frozen/T-block)
           + ([pltpu.VMEM((t, rows, d), cd)]             # in-kernel messages
              if msg_in else []),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_fwd_vmem_limit()),
         interpret=interpret,
     )(tx, ty, dec_cm, msg_op, fmap_flat, live_t, fmask_t,
       wi_v, wi_s, wi_o, wi_d, gp["wh"], gp["bi"], gp["bh"],

@@ -64,7 +64,13 @@ class Predictor:
 
     def __init__(self, save_dir: str | None = None, *, k_samples=None,
                  max_windows: int = 8, best: bool = False, seed: int = 0,
-                 params=None, cfg: DesireConfig | None = None, mesh=None):
+                 params=None, cfg: DesireConfig | None = None, mesh=None,
+                 scene_image=None):
+        """scene_image: optional (G, G, Ci) scene raster for checkpoints
+        trained with cfg.scene_image_channels > 0 (a server handles one
+        camera/scene, so the raster is a constant, broadcast per window).
+        predict.py derives it from the CSV's aggregate occupancy; omitted,
+        a zero raster is used (the model sees occupancy-only context)."""
         if params is None or cfg is None:
             if not save_dir:
                 raise ValueError("need save_dir or explicit (params, cfg)")
@@ -90,10 +96,22 @@ class Predictor:
         self._calls = 0
         self._latencies_ms: list[float] = []
 
-        def fn(params, xy, mask, ids, key):
+        self._default_img = None
+        if cfg.scene_image_channels > 0:
+            g, ci = cfg.scene_grid, cfg.scene_image_channels
+            base = (np.zeros((g, g, ci), np.float32) if scene_image is None
+                    else np.asarray(scene_image, np.float32))
+            assert base.shape == (g, g, ci), (base.shape, (g, g, ci))
+            # a traced argument (not a baked constant): predict_windows can
+            # override it per call (predict.py forecasts several CSVs with
+            # one compiled program)
+            self._default_img = np.broadcast_to(
+                base, (self.max_windows, g, g, ci)).copy()
+
+        def fn(params, xy, mask, ids, key, img=None):
             out = desire.desire_forward(params, cfg, xy, mask, ids,
                                         key=key, k_samples=self.k,
-                                        train=False)
+                                        train=False, scene_image=img)
             traj = out["refined_traj"]                     # (B, A, K, Tf, 2)
             scores = out["scores"]
             if scores is None:
@@ -111,7 +129,10 @@ class Predictor:
                     f"data axis ({data_size} devices)")
             bsh = mesh_mod.batch_sharding(mesh)
             rep = mesh_mod.replicated(mesh)
-            self._fn = jax.jit(fn, in_shardings=(rep, bsh, bsh, bsh, rep))
+            in_sh = (rep, bsh, bsh, bsh, rep)
+            if self._default_img is not None:
+                in_sh += (bsh,)
+            self._fn = jax.jit(fn, in_shardings=in_sh)
 
     # -- shape assembly ------------------------------------------------------
 
@@ -145,12 +166,15 @@ class Predictor:
 
     # -- public API ----------------------------------------------------------
 
-    def predict_windows(self, windows, scales=None, key=None):
+    def predict_windows(self, windows, scales=None, key=None,
+                        scene_image=None):
         """Forecast a list of windows (each: obs_xy (A,To,2) in raw pixels,
         obs_mask (A,To), ids (A,)). scales: per-window pixels-per-unit
         normalization (the per-video isotropic scale the model was trained
         with — windows.build_video_index); scalar or list; default 1.0
-        (inputs already normalized).
+        (inputs already normalized). scene_image: optional (G, G, Ci)
+        raster overriding the constructor's (scene_image_channels > 0
+        checkpoints only).
 
         Returns a list of dicts per window: ids (A,), traj (A,K,Tf,2) raw
         pixels, scores (A,K), best (A,Tf,2) raw pixels, live (A,) bool.
@@ -161,7 +185,7 @@ class Predictor:
                 sc = scales[i:i + self.max_windows] \
                     if isinstance(scales, (list, tuple, np.ndarray)) else scales
                 out.extend(self.predict_windows(
-                    windows[i:i + self.max_windows], sc, key))
+                    windows[i:i + self.max_windows], sc, key, scene_image))
             return out
         scales = np.broadcast_to(
             np.asarray(scales if scales is not None else 1.0, np.float32),
@@ -171,8 +195,15 @@ class Predictor:
         xy, mask, ids = self._assemble(normed)
         if key is None:
             self._key, key = jax.random.split(self._key)
+        extra = ()
+        if self._default_img is not None:
+            si = self._default_img if scene_image is None else \
+                np.broadcast_to(np.asarray(scene_image, np.float32),
+                                self._default_img.shape)
+            extra = (jnp.asarray(si),)
         t0 = time.perf_counter()
-        traj, scores, best = self._fn(self.params, xy, mask, ids, key)
+        traj, scores, best = self._fn(self.params, xy, mask, ids, key,
+                                      *extra)
         traj, scores, best = (np.asarray(traj), np.asarray(scores),
                               np.asarray(best))
         self._latencies_ms.append((time.perf_counter() - t0) * 1e3)
@@ -191,10 +222,11 @@ class Predictor:
             })
         return out
 
-    def predict(self, obs_xy, obs_mask, ids, scale=1.0, key=None):
+    def predict(self, obs_xy, obs_mask, ids, scale=1.0, key=None,
+                scene_image=None):
         """Single-window convenience wrapper of predict_windows."""
         return self.predict_windows([(obs_xy, obs_mask, ids)],
-                                    [scale], key)[0]
+                                    [scale], key, scene_image)[0]
 
     def warmup(self):
         """Trigger compilation before serving traffic (one dummy window)."""

@@ -138,7 +138,7 @@ GEOMETRY_FIELDS = (
     "use_scf", "use_social", "num_refine", "vel_scale", "speed_norm",
     "vel_gain", "vel_floor", "cond_prior", "learn_bound", "aniso_bound",
     "vae_dec", "input_norm", "pace_range", "pace_lanes", "social_freeze",
-    "scene_image_channels", "z_temp_learn",
+    "scene_image_channels", "scene_image_source", "z_temp_learn",
     "obs_len", "pred_len", "subsample", "max_num_obj", "protocol")
 
 

@@ -26,7 +26,7 @@ def make_train_step(cfg: DesireConfig, steps_per_epoch: int,
                     mesh=None) -> Callable:
     tx = make_optimizer(cfg, steps_per_epoch)
 
-    def step_fn(state: TrainState, xy, mask, ids):
+    def step_fn(state: TrainState, xy, mask, ids, img=None):
         key, sub = jax.random.split(state.key)
         if cfg.speed_aug > 0:
             # global window zoom (config.py speed_aug): scale every agent in
@@ -46,7 +46,8 @@ def make_train_step(cfg: DesireConfig, steps_per_epoch: int,
 
         def loss_fn(params):
             return desire.desire_loss(params, cfg, xy, mask, ids,
-                                      key=sub, step=state.step)
+                                      key=sub, step=state.step,
+                                      scene_image=img)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -63,9 +64,12 @@ def make_train_step(cfg: DesireConfig, steps_per_epoch: int,
         return jax.jit(step_fn, donate_argnums=(0,))
     bsh = mesh_mod.batch_sharding(mesh)
     rep = mesh_mod.replicated(mesh)
+    in_sh = (rep, bsh, bsh, bsh)
+    if cfg.scene_image_channels > 0:
+        in_sh += (bsh,)   # the per-window scene raster shards with the batch
     return jax.jit(
         step_fn,
-        in_shardings=(rep, bsh, bsh, bsh),
+        in_shardings=in_sh,
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
@@ -73,14 +77,18 @@ def make_train_step(cfg: DesireConfig, steps_per_epoch: int,
 
 def make_eval_forward(cfg: DesireConfig, k_samples=None, mesh=None):
     """Jitted inference forward (z from the prior)."""
-    def fwd(params, xy, mask, ids, key):
+    def fwd(params, xy, mask, ids, key, img=None):
         return desire.desire_forward(params, cfg, xy, mask, ids, key=key,
-                                     k_samples=k_samples, train=False)
+                                     k_samples=k_samples, train=False,
+                                     scene_image=img)
     if mesh is None:
         return jax.jit(fwd)
     bsh = mesh_mod.batch_sharding(mesh)
     rep = mesh_mod.replicated(mesh)
-    return jax.jit(fwd, in_shardings=(rep, bsh, bsh, bsh, rep))
+    in_sh = (rep, bsh, bsh, bsh, rep)
+    if cfg.scene_image_channels > 0:
+        in_sh += (bsh,)
+    return jax.jit(fwd, in_shardings=in_sh)
 
 
 def batch_to_device(batch, sharding=None, global_batch: int | None = None):
@@ -92,21 +100,23 @@ def batch_to_device(batch, sharding=None, global_batch: int | None = None):
     assembles the logically-global array across hosts — a whole-array
     device_put would require every host to hold (and agree on) every row.
     """
-    xy = np.asarray(batch.xy, dtype=np.float32)
-    mask = np.asarray(batch.mask, dtype=np.float32)
-    ids = np.asarray(batch.ids, dtype=np.float32)
+    arrs = [np.asarray(batch.xy, dtype=np.float32),
+            np.asarray(batch.mask, dtype=np.float32),
+            np.asarray(batch.ids, dtype=np.float32)]
+    if getattr(batch, "image", None) is not None:
+        # per-window scene raster rides along; callers splat the tuple into
+        # the step (xy, mask, ids, *img)
+        arrs.append(np.asarray(batch.image, dtype=np.float32))
     if sharding is None:
-        return jnp.asarray(xy), jnp.asarray(mask), jnp.asarray(ids)
+        return tuple(jnp.asarray(a) for a in arrs)
     if jax.process_count() == 1:
-        return (jax.device_put(jnp.asarray(xy), sharding),
-                jax.device_put(jnp.asarray(mask), sharding),
-                jax.device_put(jnp.asarray(ids), sharding))
+        return tuple(jax.device_put(jnp.asarray(a), sharding) for a in arrs)
     gb = global_batch if global_batch is not None else (
-        xy.shape[0] * jax.process_count())
+        arrs[0].shape[0] * jax.process_count())
     return tuple(
         jax.make_array_from_process_local_data(sharding, a,
                                                (gb,) + a.shape[1:])
-        for a in (xy, mask, ids))
+        for a in arrs)
 
 
 class NonFiniteLossError(RuntimeError):
@@ -137,8 +147,8 @@ def run_epoch(state: TrainState, loader, epoch: int, step_fn,
                                start=start_batch):
         if max_batches is not None and bi - start_batch >= max_batches:
             break
-        xy, mask, ids = batch_to_device(batch, sharding, global_batch)
-        state, metrics = step_fn(state, xy, mask, ids)
+        xy, mask, ids, *img = batch_to_device(batch, sharding, global_batch)
+        state, metrics = step_fn(state, xy, mask, ids, *img)
         if bi % log_every == 0:
             # finiteness check rides the logging cadence — a per-step
             # float() would force a device sync and break async dispatch

@@ -54,8 +54,16 @@ def file_mode(args, pred: Predictor):
         xy, mask, wids = materialize_window(
             v, start, pred.obs_len, pred.obs_len, cfg.max_num_obj,
             require_full_obs=cfg.protocol == "paper")
+        scene_img = None
+        if cfg.scene_image_channels > 0 and \
+                cfg.scene_image_source == "occupancy":
+            # the training-time scene raster for this video (the aggregate
+            # occupancy prior the loader builds; loader._video_raster)
+            from desire_tpu.data.windows import occupancy_prior
+            scene_img = occupancy_prior(v, cfg.scene_grid)
         out = pred.predict(np.swapaxes(xy, 0, 1) * scale,
-                           np.swapaxes(mask, 0, 1), wids, scale=scale)
+                           np.swapaxes(mask, 0, 1), wids, scale=scale,
+                           scene_image=scene_img)
         out["frame"] = at * subsample
         out["step"] = at
         rec = json.loads(forecast_to_json(out, top_k=args.top_k))

@@ -185,6 +185,60 @@ def test_video_index_cache_roundtrip(micro_tree, tmp_path, monkeypatch):
     assert calls["n"] == 3
 
 
+def test_occupancy_prior_and_scene_raster_batches(micro_tree):
+    """VERDICT r4 item 7 plumbing: the per-video occupancy prior puts its
+    mass where the records are, normalizes to [0,1], and the loader attaches
+    the right video's raster to every batch window."""
+    cfg = DesireConfig(protocol="paper", obs_len=2, pred_len=1, subsample=2,
+                       batch_size=2, max_num_obj=4, window_hop=1,
+                       holdout="none", data_dir=micro_tree,
+                       scene_image_channels=1, scene_grid=8)
+    loader = loader_mod.SDDLoader(cfg, use_native=False)
+    assert loader.scene_rasters is not None
+    assert loader.scene_rasters.shape == (len(loader.videos), 8, 8, 1)
+    for vi, v in enumerate(loader.videos):
+        r = loader.scene_rasters[vi]
+        assert 0.0 <= r.min() and abs(r.max() - 1.0) < 1e-6
+        # mass sits where the records are: the weighted centroid of the
+        # raster must be close to the records' mean position
+        g = r[..., 0]
+        ys, xs = np.mgrid[0:8, 0:8]
+        cx = float((g * xs).sum() / g.sum()) / 7.0
+        cy = float((g * ys).sum() / g.sum()) / 7.0
+        mx, my = v.rec_xy.mean(axis=0)
+        assert abs(cx - mx) < 0.25 and abs(cy - my) < 0.25, (v.name, cx, mx)
+    b = next(loader.epoch_batches(0))
+    assert b.image is not None and b.image.shape == (2, 8, 8, 1)
+    for i in range(b.batch_size):
+        np.testing.assert_array_equal(b.image[i],
+                                      loader.scene_rasters[b.video[i]])
+
+
+def test_scene_raster_image_dir_source(micro_tree, tmp_path):
+    """scene_image_source=<dir>: per-video reference rasters read from
+    files, resampled onto the isotropic [0,1]^2 annotation frame."""
+    cfg0 = DesireConfig(protocol="paper", obs_len=2, pred_len=1, subsample=2,
+                        batch_size=2, max_num_obj=4, window_hop=1,
+                        holdout="none", data_dir=micro_tree)
+    base = loader_mod.SDDLoader(cfg0, use_native=False)
+    imgroot = tmp_path / "imgs"
+    for v in base.videos:
+        d = imgroot / v.name
+        d.mkdir(parents=True)
+        side = int(np.ceil(v.scale))
+        img = np.linspace(0, 1, side * side, dtype=np.float32
+                          ).reshape(side, side)
+        np.save(d / "reference.npy", img)
+    cfg = cfg0.replace(scene_image_channels=1,
+                       scene_image_source=str(imgroot), scene_grid=8)
+    loader = loader_mod.SDDLoader(cfg, use_native=False)
+    r = loader.scene_rasters
+    assert r.shape == (len(base.videos), 8, 8, 1)
+    # the gradient image must survive resampling: monotone along y
+    col = r[0, :, 0, 0]
+    assert np.all(np.diff(col) >= 0) and col[-1] > col[0]
+
+
 def test_scene_filter_and_missing_dir(micro_tree, tmp_path):
     cfg = DesireConfig(protocol="paper", obs_len=3, pred_len=2, subsample=1,
                        max_num_obj=4, window_hop=1, batch_size=2,

@@ -258,6 +258,38 @@ def test_fault_injection_auto_recovery(env, tmp_path, monkeypatch):
                for l in jax.tree_util.tree_leaves(got[0].params))
 
 
+def test_scene_image_trains_and_changes_forward(env):
+    """Real imagery through the scene CNN (VERDICT r4 item 7): with
+    scene_image_channels=1 the loader-attached raster reaches the scene CNN
+    (a different raster changes the refined trajectories), the train step
+    consumes it, and the eval harness runs end-to-end."""
+    from desire_tpu.models import desire as desire_mod
+
+    cfg = micro_cfg(env["data_dir"], scene_image_channels=1)
+    loader = SDDLoader(cfg, use_native=False)
+    assert loader.scene_rasters is not None
+    params = init_desire(jax.random.PRNGKey(0), cfg)
+    batch = next(loader.epoch_batches(0))
+    xy, mask, ids, img = trainer.batch_to_device(batch)
+    key = jax.random.PRNGKey(1)
+    out_a = desire_mod.desire_forward(params, cfg, xy, mask, ids, key=key,
+                                      train=False, scene_image=img)
+    out_b = desire_mod.desire_forward(params, cfg, xy, mask, ids, key=key,
+                                      train=False, scene_image=1.0 - img)
+    # the delta/gate heads are zero-init (refinement is identity at init),
+    # so the raster's reach is visible in the IOC SCORES at a fresh init
+    d = float(jnp.max(jnp.abs(out_a["scores"] - out_b["scores"])))
+    assert d > 1e-6, "scene image does not reach the IOC scoring path"
+
+    step_fn = trainer.make_train_step(cfg, loader.num_batches)
+    state = create_train_state(cfg, params, loader.num_batches)
+    state, metrics = step_fn(state, xy, mask, ids, img)
+    assert np.isfinite(float(metrics["loss"]))
+    # the donated step deleted the pre-step buffers: eval the NEW params
+    res = evaluate(state.params, cfg, loader, max_batches=1)
+    assert np.isfinite(res["minADE_px"])
+
+
 def test_final_best_selection_full_split(env, tmp_path):
     """--final_select_top (VERDICT r4 item 8): training keeps a best-N
     candidate pool by the subset per-epoch eval, then re-evaluates the
