@@ -313,6 +313,14 @@ class DesireConfig:
     #                              'mean' = every lane to GT (paper CVAE)
     kld_free_bits: float = 0.1   # per-dim KL floor (0 = off); keeps the
     #                              latent informative (anti posterior-collapse)
+    rank_blend_fit: float = -1.0  # score/typicality blend weight FITTED on
+    #                              a train-split slice at the end of training
+    #                              (train.py _final_best_selection; VERDICT
+    #                              r4 item 2: make --rank_blend a trained
+    #                              quantity). -1 = unset. evaluate.py and
+    #                              serve.Predictor use it for the top-1 pick
+    #                              whenever no explicit --rank_blend is given
+    #                              — the headline top-1 needs no eval flag.
     ioc_temp: float = 0.5        # IOC CE target-distribution temperature, in
     #                              units of the per-agent lane-distance SPREAD
     #                              (distances are z-scored across the K lanes

@@ -230,6 +230,62 @@ def fit_sigma_temperature(params, cfg: DesireConfig, loader, *,
                         "fit_weight": float(n)}
 
 
+def fit_rank_blend(params, cfg: DesireConfig, loader, *,
+                   blends=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                   max_batches=30, k_samples=None, key=None):
+    """Fit the top-1 score/typicality blend on a train-split slice
+    (VERDICT r4 item 2: --rank_blend as a trained quantity).
+
+    One jitted program computes the forward ONCE per batch and the
+    blended-argmax top-1 ADE at every candidate blend (the blend math is a
+    few (B, A, K) element ops — metrics.best_of_k_by_score); the argmin
+    blend goes into the checkpoint config (rank_blend_fit) so eval/serving
+    rank with it by default, no flag needed. Returns (blend, diagnostics).
+    """
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed + 7)
+    blends = tuple(float(b) for b in blends)
+
+    def fn(params, xy, mask, ids, key, scale, img=None):
+        k1, _ = jax.random.split(key)
+        out = desire.desire_forward(params, cfg, xy, mask, ids, key=k1,
+                                    k_samples=k_samples, train=False,
+                                    scene_image=img)
+        traj = out["refined_traj"].astype(jnp.float32)
+        scores = out["scores"]
+        if scores is None:
+            scores = jnp.zeros(traj.shape[:3], traj.dtype)
+        scores = scores.astype(jnp.float32)
+        gt = out["fut_xy"].astype(jnp.float32)
+        sm = out["fut_mask"].astype(jnp.float32)
+        live = (out["live"].astype(jnp.float32)
+                * (jnp.sum(sm, axis=-1) > 0))
+        res = {"w": jnp.sum(live)}
+        for j, bl in enumerate(blends):
+            best = M.best_of_k_by_score(traj, scores, blend=bl)[:, :, None]
+            ade, _ = M.per_agent_min_ade_fde(best, gt, sm, scale=scale)
+            res[f"t1_{j}"] = jnp.sum(ade * live)
+        return res
+
+    step = jax.jit(fn)
+    sums = np.zeros(len(blends))
+    w = 0.0
+    for bi, batch in enumerate(loader.epoch_batches(0)):
+        if bi >= max_batches:
+            break
+        xy, mask, ids, *img = batch_to_device(batch)
+        key, sub = jax.random.split(key)
+        res = jax.device_get(step(params, xy, mask, ids, sub,
+                                  jnp.asarray(batch.scale), *img))
+        for j in range(len(blends)):
+            sums[j] += float(res[f"t1_{j}"])
+        w += float(res["w"])
+    t1 = sums / max(w, 1e-8)
+    j = int(np.argmin(t1))
+    return blends[j], {"blends": list(blends),
+                       "top1ADE_px": [float(x) for x in t1],
+                       "fit_weight": float(w)}
+
+
 def evaluate(params, cfg: DesireConfig, loader, *, k_samples=None,
              key=None, max_batches=None, epoch: int = 0,
              per_scene: bool = False, horizons=None,

@@ -116,7 +116,10 @@ class Predictor:
             scores = out["scores"]
             if scores is None:
                 scores = jnp.zeros(traj.shape[:3], traj.dtype)
-            return traj, scores, M.best_of_k_by_score(traj, scores)
+            # top-1 ranks with the train-split-fitted blend when the
+            # checkpoint carries one (config rank_blend_fit)
+            return traj, scores, M.best_of_k_by_score(
+                traj, scores, blend=max(cfg.rank_blend_fit, 0.0))
 
         if mesh is None:
             self._fn = jax.jit(fn)

@@ -139,6 +139,7 @@ GEOMETRY_FIELDS = (
     "vel_gain", "vel_floor", "cond_prior", "learn_bound", "aniso_bound",
     "vae_dec", "input_norm", "pace_range", "pace_lanes", "social_freeze",
     "scene_image_channels", "scene_image_source", "z_temp_learn",
+    "rank_blend_fit",
     "obs_len", "pred_len", "subsample", "max_num_obj", "protocol")
 
 

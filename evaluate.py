@@ -48,10 +48,12 @@ def main(argv=None):
                         help="0 = full epoch")
     parser.add_argument("--random_params", type=int, default=0,
                         help="skip checkpoint loading (smoke test)")
-    parser.add_argument("--rank_blend", type=float, default=0.0,
+    parser.add_argument("--rank_blend", type=float, default=None,
                         help="top-1 selection: z(IOC score) + blend * "
                              "z(lane typicality); 0 = pure IOC score "
-                             "(metrics.best_of_k_by_score)")
+                             "(metrics.best_of_k_by_score). Default: the "
+                             "train-split-fitted blend stored in the "
+                             "checkpoint config (rank_blend_fit), else 0")
     parser.add_argument("--z_temp_fast", type=float, default=1.0,
                         help="latent sampling temperature for agents "
                              "observed faster than --z_temp_px (eval-time "
@@ -162,20 +164,24 @@ def main(argv=None):
                 two_param=bool(args.calib_two_param))
             sigma_temps = (1.0, tau)
 
+    # --rank_blend unset -> the train-split-fitted blend persisted in the
+    # checkpoint config (train.py final selection), else pure IOC score
+    rank_blend = (args.rank_blend if args.rank_blend is not None
+                  else max(cfg.rank_blend_fit, 0.0))
     result = evaluate(params, cfg, loader,
                       max_batches=args.max_eval_batches or None,
                       per_scene=bool(args.per_scene),
                       horizons=horizons or None,
                       calibration=bool(args.calibration),
                       speed_bins=speed_bins or None,
-                      rank_blend=args.rank_blend,
+                      rank_blend=rank_blend,
                       z_temp_fast=args.z_temp_fast,
                       z_temp_px=args.z_temp_px,
                       sigma_temps=sigma_temps)
     if fit_diag is not None:
         result.setdefault("calibration", {})["sigma_fit"] = fit_diag
-    if args.rank_blend:
-        result["rank_blend"] = args.rank_blend
+    if rank_blend:
+        result["rank_blend"] = rank_blend
     if args.z_temp_fast != 1.0:
         result["z_temp"] = {"fast": args.z_temp_fast, "px": args.z_temp_px}
     print(json.dumps(result, sort_keys=True))

@@ -324,6 +324,15 @@ def test_final_best_selection_full_split(env, tmp_path):
     best_mgr = ckpt_mod.CheckpointManager(os.path.join(cfg.save_dir, "best"))
     got = best_mgr.restore(_fresh_state(env))
     assert got is not None and int(got[0].step) == winner["step"]
+    # the train-split-fitted rank blend is persisted in best/config.json
+    # (VERDICT r4 item 2) and logged with its fit grid
+    fit = [e for e in events if e["event"] == "rank_blend_fit"]
+    assert len(fit) == 1 and "error" not in fit[0], fit
+    from desire_tpu.train.checkpoint import load_config
+    best_cfg = load_config(os.path.join(cfg.save_dir, "best"))
+    assert best_cfg.rank_blend_fit == fit[0]["blend"] >= 0.0
+    assert fit[0]["blends"][int(np.argmin(fit[0]["top1ADE_px"]))] \
+        == fit[0]["blend"]
 
 
 def test_nonfinite_epoch_raises_without_manager(env):

@@ -279,16 +279,32 @@ def _final_best_selection(cfg, pool_mgr, best_mgr, eval_loader,
     log.log({"event": "final_select", "step": win_step,
              "minADE_px": win_metric, "replaced": cur != win_step,
              "prev_best_step": cur})
-    if cur == win_step:
-        return
-    # the winner differs from the running best: rewrite best/ (orbax can't
-    # save a step older than its latest, so start the dir fresh)
+    # fit the top-1 score/typicality blend on a TRAIN-split slice with the
+    # winner's params and persist it in the checkpoint config — eval and
+    # serving then rank with it by default (VERDICT r4 item 2)
+    cfg_out = cfg
+    try:
+        from desire_tpu.eval.sampler import fit_rank_blend
+        fit_loader = SDDLoader(cfg.replace(window_hop=cfg.eval_hop),
+                               split="train", drop_remainder=False)
+        bl, diag = fit_rank_blend(win_state.params, cfg, fit_loader)
+        cfg_out = cfg.replace(rank_blend_fit=float(bl))
+        log.log(dict(diag, event="rank_blend_fit", blend=float(bl)))
+    except Exception as e:  # the fit is an enhancement, never a run-killer
+        log.log({"event": "rank_blend_fit", "error": str(e)})
     best_dir = os.path.join(cfg.save_dir, "best")
     if best_mgr is not None:
         best_mgr.wait()
+    if cur == win_step:
+        # same checkpoint: only the config gains the fitted blend
+        with open(os.path.join(best_dir, "config.json"), "w") as f:
+            f.write(cfg_out.to_json())
+        return
+    # the winner differs from the running best: rewrite best/ (orbax can't
+    # save a step older than its latest, so start the dir fresh)
     shutil.rmtree(best_dir, ignore_errors=True)
     new_best = ckpt_mod.CheckpointManager(best_dir, keep=1)
-    new_best.save(win_state, LoaderState(), cfg, wait=True)
+    new_best.save(win_state, LoaderState(), cfg_out, wait=True)
 
 
 if __name__ == "__main__":
