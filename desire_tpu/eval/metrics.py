@@ -260,11 +260,16 @@ def pit_values(raw5, gt, step_mask, agent_mask, sigma_temp=1.0):
         return 0.5 * (1.0 + jax.scipy.special.erf(z / jnp.sqrt(2.0)))
 
     if isinstance(sigma_temp, (tuple, list)):
+        # (tau_center, tau_tail[, w_center]): mixture weight on the center
+        # component defaults to 0.5; a third entry tunes it (the r5 on-chip
+        # fit showed the equal-weight tail floors central coverage ~0.54 —
+        # the weight is the lever that decouples the two levels)
         tc, tt = float(sigma_temp[0]), float(sigma_temp[1])
-        ux = jnp.mean(0.5 * phi((gx - mux) / (sx * tc))
-                      + 0.5 * phi((gx - mux) / (sx * tt)), axis=-2)
-        uy = jnp.mean(0.5 * phi((gy - muy) / (sy * tc))
-                      + 0.5 * phi((gy - muy) / (sy * tt)), axis=-2)
+        w = float(sigma_temp[2]) if len(sigma_temp) > 2 else 0.5
+        ux = jnp.mean(w * phi((gx - mux) / (sx * tc))
+                      + (1 - w) * phi((gx - mux) / (sx * tt)), axis=-2)
+        uy = jnp.mean(w * phi((gy - muy) / (sy * tc))
+                      + (1 - w) * phi((gy - muy) / (sy * tt)), axis=-2)
     else:
         if sigma_temp != 1.0:
             sx = sx * sigma_temp

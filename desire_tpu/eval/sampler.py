@@ -146,15 +146,20 @@ def make_eval_step(cfg: DesireConfig, k_samples=None, horizon_steps=(),
 _FIT_TEMPS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.15,
               1.3, 1.5)
 
-# (tau_center, tau_tail) grid for the two-parameter fit: each lane CDF
-# becomes the two-scale mixture 0.5*Phi(z/tc) + 0.5*Phi(z/tt) (see
-# metrics.pit_values), so the 50% interval is governed mostly by tc and
-# the 90% interval mostly by tt. The raw heads over-disperse the center
+# (tau_center, tau_tail, w_center) grid for the two-scale fit: each lane
+# CDF becomes the mixture w*Phi(z/tc) + (1-w)*Phi(z/tt) (metrics.
+# pit_values), so the 50% interval is governed mostly by (tc, w) and the
+# 90% interval mostly by tt. The raw heads over-disperse the center
 # (tc < 1 expected) while the scalar fit showed tails go thin under
-# uniform shrinking (tt near or above 1 expected).
-_FIT_PAIR_TC = (0.05, 0.1, 0.15, 0.2, 0.3, 0.45, 0.65, 0.9)
-_FIT_PAIR_TT = (0.6, 0.8, 1.0, 1.3, 1.7, 2.2)
-_FIT_PAIRS = tuple((tc, tt) for tc in _FIT_PAIR_TC for tt in _FIT_PAIR_TT)
+# uniform shrinking (tt near or above 1 expected). The r5 on-chip fit at
+# fixed w=0.5 clamped tc at the grid edge with center coverage floored
+# ~0.54 (the tail component's own central mass): w is the degree of
+# freedom that decouples the levels.
+_FIT_PAIR_TC = (0.05, 0.1, 0.2, 0.45)
+_FIT_PAIR_TT = (0.6, 0.8, 1.0, 1.3, 1.7)
+_FIT_PAIR_W = (0.35, 0.5, 0.65, 0.8)
+_FIT_PAIRS = tuple((tc, tt, w) for tc in _FIT_PAIR_TC
+                   for tt in _FIT_PAIR_TT for w in _FIT_PAIR_W)
 
 
 def fit_sigma_temperature(params, cfg: DesireConfig, loader, *,
