@@ -192,6 +192,24 @@ def _social_tb_default():
     return int(os.environ.get("DESIRE_SOCIAL_TB", "1"))
 
 
+def _social_kc_default():
+    """Lane-block-BATCHED social attention (DESIRE_SOCIAL_KC=1, inference
+    path only): the dense (rows, rows) distance/softmax computes kc^2
+    lane-block tiles of which only the kc diagonal blocks carry nonzero
+    weights (attention is per-lane block-diagonal) — a kc-fold VPU-element
+    waste that also explains why the 640-row chunk did NOT win the r5
+    sweep (social elements grow with rows^2 and cancel the cell-count
+    halving). This variant reshapes the (rows, 1) position/live columns
+    into (kc, A, 1) leading-split views (free), forms the (kc, A, A)
+    batched distance/softmax directly, and pools with ONE batched
+    dot_general — same math, ~kc x fewer VPU elements, no selection
+    matmuls (the band variant's failure mode). Mathematically identical
+    to the dense path (cross-block exp(-1e9) underflows to exactly 0);
+    parity-tested. Applies to the fused-loop inference forward (incl.
+    social_freeze pass-0); mutually exclusive with band/T-block."""
+    return os.environ.get("DESIRE_SOCIAL_KC", "0") == "1"
+
+
 def _fused_loop_default():
     """Fuse the per-step feature build, GRU update, pass-0 dec projection
     and final-pass score accumulation into ONE T-loop, in the forward AND
@@ -223,7 +241,7 @@ def _ablate_default():
 def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
             collect_iters=False, tent_mm=False, tent_bf16=False,
             ablate="", social_freeze=False, fused_loop=True, band=False,
-            msg_in=False, tblock=1):
+            msg_in=False, tblock=1, kcb=False):
     (tx_ref, ty_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
      wiv_ref, wis_ref, wio_ref, wid_ref, wh_ref, bi_ref, bh_ref,
      heads_w_ref, heads_b_ref, ltau_ref) = refs[:17]
@@ -341,6 +359,17 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
         exclband = selfb | (liveband <= 0)
         nb_ok = (jnp.sum(jnp.where(exclband, 0.0, 1.0), axis=-1,
                          keepdims=True) > 0).astype(jnp.float32)
+    elif kcb:
+        # lane-block-batched constants (_social_kc_default): the (rows, 1)
+        # live column leading-splits to (kc, A, 1) for free; the exclusion
+        # mask lives directly in batched (kc, A, A) form
+        live_a = jnp.swapaxes(
+            jnp.swapaxes(live, 0, 1).reshape(kc, a_dim, 1), 1, 2)
+        ia3 = jax.lax.broadcasted_iota(jnp.int32, (kc, a_dim, a_dim), 1)
+        ja3 = jax.lax.broadcasted_iota(jnp.int32, (kc, a_dim, a_dim), 2)
+        excl_a = (ia3 == ja3) | (live_a <= 0)             # (kc, A, A)
+        nb_ok_a = (jnp.sum(jnp.where(excl_a, 0.0, 1.0), axis=-1,
+                           keepdims=True) > 0).astype(jnp.float32)
     else:
         excl = ((r_id // a_dim) != (c_id // a_dim)) | (r_id == c_id) | (
             live <= 0)                                        # (rows, rows)
@@ -422,6 +451,27 @@ def _kernel(*refs, num_refine, delta_scale, grid_g, cd, a_dim, kc,
                 w = jax.nn.softmax(logits, axis=-1) * nb_ok   # (rows, A)
                 wf = _mm(w, gexp, cd, precision) * bsel   # (rows, rows)
                 return _mm(wf, mt, cd, precision)         # (rows, d)
+            if kcb:
+                # lane-block-batched (_social_kc_default): kc x fewer VPU
+                # elements than the dense (rows, rows) form, same math
+                # (cross-block exp(-1e9) underflows to exactly 0 there)
+                dm = mt.shape[-1]
+                mt_a = mt.reshape(kc, a_dim, dm)          # leading split
+                xa = xT.reshape(kc, a_dim, 1)
+                ya = yT.reshape(kc, a_dim, 1)
+                xat = jnp.swapaxes(xa, 1, 2)              # (kc, 1, A)
+                yat = jnp.swapaxes(ya, 1, 2)
+                sqa = xa * xa + ya * ya                   # (kc, A, 1)
+                d2 = (sqa + jnp.swapaxes(sqa, 1, 2)
+                      - 2.0 * (xa * xat + ya * yat))      # (kc, A, A)
+                logits = jnp.where(excl_a, -1e9, -d2 / tau)
+                w = jax.nn.softmax(logits, axis=-1) * nb_ok_a
+                pooled = jax.lax.dot_general(
+                    w.astype(cd), mt_a.astype(cd),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)                  # (kc, A, d)
+                return pooled.reshape(rows, dm)
             sq = x * x + y * y                            # (1, rows)
             gram = xT * x + yT * y                        # (rows, rows)
             d2 = jnp.swapaxes(sq, 0, 1) + sq - 2.0 * gram
@@ -715,6 +765,11 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
             and not _social_band_default() and _ablate_default() != "social"):
         tblock = max(dv for dv in range(1, min(tb_req, t) + 1)
                      if t % dv == 0)
+    # lane-block-batched social attention (_social_kc_default): inference
+    # forward only, mutually exclusive with band/T-block/ablation
+    kcb = (_social_kc_default() and not collect_iters
+           and not _social_band_default() and tblock == 1
+           and _ablate_default() != "social")
     kc = _pick_chunk(k, a, social_freeze=social_freeze,
                      fused_loop=fused_loop, conservative=collect_iters)
     chunks = k // kc
@@ -762,7 +817,7 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
         tent_mm=_tent_mm_default(), tent_bf16=_tent_bf16_default(),
         ablate=_ablate_default(), social_freeze=bool(social_freeze),
         fused_loop=fused_loop, band=_social_band_default(), msg_in=msg_in,
-        tblock=tblock)
+        tblock=tblock, kcb=kcb)
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)

@@ -840,6 +840,34 @@ def test_fused_ioc_social_tb_matches_per_step(tb, freeze, monkeypatch):
     np.testing.assert_array_equal(np.asarray(blk_s), np.asarray(base_s))
 
 
+@pytest.mark.parametrize("freeze", [False, True])
+def test_fused_ioc_social_kc_matches_dense(freeze, monkeypatch):
+    """DESIRE_SOCIAL_KC (lane-block-BATCHED social attention: (kc, A, A)
+    batched distance/softmax + one batched pooling dot instead of the
+    dense (rows, rows) form whose off-diagonal lane blocks are all-zero
+    weights) must match the dense path: cross-block exp(-1e9) underflows
+    to exactly 0 there, so the two forms sum identical terms."""
+    from desire_tpu.models.ioc import _DELTA_SCALE
+    from desire_tpu.ops.ioc_fused import ioc_refine_fused
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    msg = scf.social_messages(p_scf, dec_h)
+
+    def run():
+        return ioc_refine_fused(
+            p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
+            num_refine=cfg.num_refine, delta_scale=_DELTA_SCALE,
+            interpret=True, social_freeze=freeze)
+
+    monkeypatch.setenv("DESIRE_SOCIAL_KC", "0")
+    base_t, base_s = run()
+    monkeypatch.setenv("DESIRE_SOCIAL_KC", "1")
+    kc_t, kc_s = run()
+    np.testing.assert_allclose(np.asarray(kc_t), np.asarray(base_t),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(kc_s), np.asarray(base_s),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_fused_ioc_social_tb_msg_inkernel_and_clamp(monkeypatch):
     """T-block composes with the in-kernel message projection (msg=None):
     the pass-0 pre-loop stages dec/msg before soc_block reads them. A
