@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from desire_tpu.ops.ioc_fused import (_fused_loop_default, _pick_chunk,
                                       _precision_for, _social_band_default,
-                                      _tent_mm_default)
+                                      _social_kc_default, _tent_mm_default)
 
 
 def _batch_wgrad_default():
@@ -105,7 +105,7 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             xb_s, yb_s, d2b_s, douts_scr,
             *, num_refine, delta_scale, grid_g, cd, a_dim, kc,
             tent_mm=False, social_freeze=False, fused_loop=True, band=False,
-            batch_wgrad=False):
+            batch_wgrad=False, kcb=False):
     t_len = fmask_ref.shape[1]
     rows = kc * a_dim
     d = whr_ref.shape[0]
@@ -166,6 +166,16 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
         def band_pick(m):
             """(rows, A) -> (rows, 1): row r picks its own column r%A."""
             return jnp.sum(m * gt, axis=-1, keepdims=True)
+    elif kcb:
+        # lane-block-batched constants (ioc_fused._social_kc_default): the
+        # recompute AND the softmax/position adjoints run on (kc, A, A)
+        live_a = jnp.swapaxes(
+            jnp.swapaxes(live, 0, 1).reshape(kc, a_dim, 1), 1, 2)
+        ia3 = jax.lax.broadcasted_iota(jnp.int32, (kc, a_dim, a_dim), 1)
+        ja3 = jax.lax.broadcasted_iota(jnp.int32, (kc, a_dim, a_dim), 2)
+        excl_a = (ia3 == ja3) | (live_a <= 0)             # (kc, A, A)
+        nb_ok_a = (jnp.sum(jnp.where(excl_a, 0.0, 1.0), axis=-1,
+                           keepdims=True) > 0).astype(f32)
     else:
         excl = ((r_id // a_dim) != (c_id // a_dim)) | (r_id == c_id) | (
             live <= 0)
@@ -291,6 +301,27 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
             d2b_s[pl.ds(t, 1)] = d2[None]
             wf = _mmf(w, gexp, cd, precision) * bsel      # (rows, rows)
             soc_s[pl.ds(t, 1)] = _mmf(wf, mt, cd, precision)[None]
+            return 0
+        if kcb:
+            # lane-block-batched recompute: (kc, A, A) softmax stored as a
+            # (rows, A) leading-merged plane (same scratch shape as band)
+            dm = mt.shape[-1]
+            mt_a = mt.reshape(kc, a_dim, dm)
+            xa = xT.reshape(kc, a_dim, 1)
+            ya = yT.reshape(kc, a_dim, 1)
+            xat = jnp.swapaxes(xa, 1, 2)
+            yat = jnp.swapaxes(ya, 1, 2)
+            sqa = xa * xa + ya * ya
+            d2 = (sqa + jnp.swapaxes(sqa, 1, 2)
+                  - 2.0 * (xa * xat + ya * yat))          # (kc, A, A)
+            logits = jnp.where(excl_a, -1e9, -d2 / tau)
+            w = jax.nn.softmax(logits, axis=-1) * nb_ok_a
+            w_s[pl.ds(t, 1)] = w.reshape(rows, a_dim)[None]
+            pooled = jax.lax.dot_general(
+                w.astype(cd), mt_a.astype(cd),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=precision)
+            soc_s[pl.ds(t, 1)] = pooled.reshape(rows, dm)[None]
             return 0
         sq = x * x + y * y
         gram = xT * x + yT * y
@@ -613,6 +644,55 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
                       + band_pick(_sel(d_d2 * yT)))
                 gpx = gpx + 2.0 * ((rs + cs) * xT - mx)
                 gpy = gpy + 2.0 * ((rs + cs) * yT - my)
+            elif kcb:
+                # lane-block-batched adjoint: every (rows, rows) tensor of
+                # the dense path shrinks to (kc, A, A) — same math (the
+                # deleted cross-block terms are exactly zero there)
+                dm = mt.shape[-1]
+                mt_a = mt.reshape(kc, a_dim, dm)
+                w_a = w_t.reshape(kc, a_dim, a_dim)
+                dsoc_a = d_soc.reshape(kc, a_dim, dm)
+                dmsg_ref[0, 0, pl.ds(t, 1)] = (
+                    dmsg_ref[0, 0, pl.ds(t, 1)]
+                    + jax.lax.dot_general(
+                        w_a.astype(cd), dsoc_a.astype(cd),
+                        (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=f32,
+                        precision=precision).reshape(rows, dm)[None])
+                d_w = jax.lax.dot_general(
+                    dsoc_a.astype(cd), mt_a.astype(cd),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                    precision=precision)                  # (kc, A, A)
+                d_sm = d_w * nb_ok_a
+                row_dot = jnp.sum(d_sm * w_a, axis=-1, keepdims=True)
+                d_l = w_a * d_sm - w_a * row_dot
+                d_l = jnp.where(excl_a, 0.0, d_l)
+                d_d2 = -d_l / tau
+                xa = xT.reshape(kc, a_dim, 1)
+                ya = yT.reshape(kc, a_dim, 1)
+                xat = jnp.swapaxes(xa, 1, 2)
+                yat = jnp.swapaxes(ya, 1, 2)
+                sqa = xa * xa + ya * ya
+                d2v = (sqa + jnp.swapaxes(sqa, 1, 2)
+                       - 2.0 * (xa * xat + ya * yat))
+                s3 = jnp.sum(d_l * d2v, axis=(1, 2), keepdims=True)
+                dltau_ref[0, 0, 0:1, 0:1] = dltau_ref[0, 0, 0:1, 0:1] + (
+                    jnp.sum(s3, axis=0) / (tau * tau) * jnp.exp(ltau))
+                rs = jnp.sum(d_d2, axis=-1, keepdims=True)   # (kc, A, 1)
+                cs = jnp.swapaxes(jnp.sum(d_d2, axis=1, keepdims=True),
+                                  1, 2)
+                symm = d_d2 + jnp.swapaxes(d_d2, 1, 2)
+                mx = jax.lax.dot_general(
+                    symm.astype(cd), xa.astype(cd),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32, precision=precision)
+                my = jax.lax.dot_general(
+                    symm.astype(cd), ya.astype(cd),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32, precision=precision)
+                gpx = gpx + (2.0 * ((rs + cs) * xa - mx)).reshape(rows, 1)
+                gpy = gpy + (2.0 * ((rs + cs) * ya - my)).reshape(rows, 1)
             else:
                 dmsg_ref[0, 0, pl.ds(t, 1)] = (
                     dmsg_ref[0, 0, pl.ds(t, 1)]
@@ -958,12 +1038,16 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
 
     band = _social_band_default()
     batch_wgrad = _batch_wgrad_default()
+    # lane-block-batched social (ioc_fused._social_kc_default): recompute +
+    # softmax/position adjoints on (kc, A, A); the frozen-attention path
+    # keeps its deferred dense adjoint
+    kcb = _social_kc_default() and not band and not social_freeze
     kernel = functools.partial(
         _kernel, num_refine=nr, delta_scale=float(delta_scale),
         grid_g=int(g), cd=cd, a_dim=a, kc=kc,
         tent_mm=_tent_mm_default(), social_freeze=bool(social_freeze),
         fused_loop=_fused_loop_default(), band=band,
-        batch_wgrad=batch_wgrad)
+        batch_wgrad=batch_wgrad, kcb=kcb)
 
     def bk(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -1035,9 +1119,10 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
             pltpu.VMEM((t, rows, d), f32),                 # giz
             pltpu.VMEM((t, rows, d), f32),                 # gin
             pltpu.VMEM((t, rows, d), f32),                 # hs
-            # attention w: banded (T, rows, A) under DESIRE_SOCIAL_BAND
-            # (5x smaller at flagship shapes), full (T, rows, rows) else
-            pltpu.VMEM((t, rows, a if band else rows), f32),
+            # attention w: (T, rows, A) under band (DESIRE_SOCIAL_BAND) or
+            # lane-block-batched (DESIRE_SOCIAL_KC; stored as the (rows, A)
+            # leading-merge of (kc, A, A)), full (T, rows, rows) else
+            pltpu.VMEM((t, rows, a if (band or kcb) else rows), f32),
             pltpu.VMEM((t, rows, c), f32),                 # scene
             pltpu.VMEM((t, rows, d), f32),                 # social
             pltpu.VMEM((t, rows), f32),                    # x plane

@@ -765,9 +765,11 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
             and not _social_band_default() and _ablate_default() != "social"):
         tblock = max(dv for dv in range(1, min(tb_req, t) + 1)
                      if t % dv == 0)
-    # lane-block-batched social attention (_social_kc_default): inference
-    # forward only, mutually exclusive with band/T-block/ablation
-    kcb = (_social_kc_default() and not collect_iters
+    # lane-block-batched social attention (_social_kc_default): applies to
+    # the inference AND collect_iters forwards (ioc_bwd mirrors it in the
+    # backward recompute/adjoint); mutually exclusive with band/T-block/
+    # ablation
+    kcb = (_social_kc_default()
            and not _social_band_default() and tblock == 1
            and _ablate_default() != "social")
     kc = _pick_chunk(k, a, social_freeze=social_freeze,

@@ -563,17 +563,23 @@ def test_fused_sgm_sampler_sharded_matches_unsharded():
                                    rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("tent_mm,freeze", [("0", False), ("1", False),
-                                            ("0", True), ("1", True)])
-def test_pallas_backward_ioc_gradient_parity(tent_mm, freeze, monkeypatch):
+@pytest.mark.parametrize("tent_mm,freeze,kcsoc",
+                         [("0", False, "0"), ("1", False, "0"),
+                          ("0", True, "0"), ("1", True, "0"),
+                          ("0", False, "1")])
+def test_pallas_backward_ioc_gradient_parity(tent_mm, freeze, kcsoc,
+                                             monkeypatch):
     """The full Pallas backward (ops/ioc_bwd.py) must reproduce jax.grad of
     the XLA ioc_forward for every input and parameter — with both the wide
-    and the factorized (DESIRE_TENT_MM=1) scene-tent builds, and with the
+    and the factorized (DESIRE_TENT_MM=1) scene-tent builds, with the
     frozen social attention (social_freeze: one deferred attention adjoint;
-    positions hear only the refine passes, ltau/msg also the score pass)."""
+    positions hear only the refine passes, ltau/msg also the score pass),
+    and with the lane-block-batched social (DESIRE_SOCIAL_KC: (kc, A, A)
+    recompute + adjoint in both the forward and backward kernels)."""
     from desire_tpu.models.ioc import ioc_forward
     from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
     monkeypatch.setenv("DESIRE_TENT_MM", tent_mm)
+    monkeypatch.setenv("DESIRE_SOCIAL_KC", kcsoc)
     cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
     if freeze:
         cfg = cfg.replace(social_freeze=True)
