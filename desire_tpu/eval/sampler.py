@@ -39,7 +39,10 @@ def make_sampler(cfg: DesireConfig, k_samples=None, stochastic=False):
         scores = out["scores"]
         if scores is None:
             scores = jnp.zeros(traj.shape[:3], traj.dtype)
-        best = M.best_of_k_by_score(traj, scores)
+        # ranked pick uses the train-slice-fitted blend when the checkpoint
+        # carries one (config rank_blend_fit) — same default as evaluate.py
+        best = M.best_of_k_by_score(traj, scores,
+                                    blend=max(cfg.rank_blend_fit, 0.0))
         return {"traj": traj, "scores": scores, "best": best,
                 "sgm_traj": out["sgm_traj"], "raw5": out["raw5"],
                 "fut_mask": out["fut_mask"], "live": out["live"],
