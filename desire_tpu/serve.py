@@ -74,7 +74,12 @@ class Predictor:
         if params is None or cfg is None:
             if not save_dir:
                 raise ValueError("need save_dir or explicit (params, cfg)")
-            saved = ckpt_mod.load_config(save_dir)
+            saved = None
+            if best:
+                # best/ carries its own config incl. the fitted rank blend
+                saved = ckpt_mod.load_config(os.path.join(save_dir, "best"))
+            if saved is None:
+                saved = ckpt_mod.load_config(save_dir)
             if saved is None:
                 raise FileNotFoundError(f"no config.json in {save_dir}")
             cfg = ckpt_mod.overlay_geometry(cfg or DesireConfig(), saved)

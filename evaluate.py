@@ -104,7 +104,15 @@ def main(argv=None):
     for f in _GEOMETRY_FIELDS:  # resolve sentinels before building the config
         setattr(args, f, explicit.get(f, getattr(DesireConfig, f)))
     cfg = config_from_args(args)
-    saved_cfg = ckpt_mod.load_config(cfg.save_dir) if cfg.save_dir else None
+    saved_cfg = None
+    if cfg.save_dir:
+        if args.best:
+            # best/ carries its own config (train.py's final selection
+            # writes the fitted rank blend there) — prefer it
+            saved_cfg = ckpt_mod.load_config(
+                os.path.join(cfg.save_dir, "best"))
+        if saved_cfg is None:
+            saved_cfg = ckpt_mod.load_config(cfg.save_dir)
     if saved_cfg is not None and not args.random_params:
         # geometry comes from the checkpoint UNLESS explicitly flagged (e.g.
         # --num_refine 0 to eval the raw SGM hypotheses)
