@@ -700,13 +700,23 @@ def _pick_chunk(k, a_pad, max_rows=None, social_freeze=False,
     collect_iters training forward — their extra buffers could tip the
     margin, and an AOT OOM killed a full training queue once already."""
     if max_rows is None:
-        max_rows = int(os.environ.get("DESIRE_IOC_MAX_ROWS", 320))
         # Round-5 finding: the r4 640/1280-row "AOT-OOM at the 16M limit"
         # was against the compiler's DEFAULT scoped-vmem cap — the forward
         # pallas_call never raised vmem_limit_bytes the way the backward
         # (100M) and the SGM sampler (96M) do. With _fwd_vmem_limit() the
-        # 640-row chunk is compilable; whether it WINS is an on-chip
-        # question (r5 queue: rows sweep at the raised limit).
+        # r5 on-chip sweep measured the INFERENCE forward at
+        # 59.2 / 60.6 / 53.1 ms for 320 / 640 / 1280 rows (B=64 A=60
+        # K=20): one whole-K chunk wins 10% (single-pass setup amortized;
+        # the non-monotonic middle is the dense social's rows^2 growth) —
+        # 1280 is the inference default. Training/backward configurations
+        # (conservative=True) keep 320 until their own sweep lands
+        # (/tmp/r5_matrix.jsonl): the dense backward attention scratch is
+        # (T, rows, rows) — 78 MB at 1280 rows — so big-row training needs
+        # DESIRE_SOCIAL_KC.
+        # (freeze inference is probed at 640 — 49.6 ms — its 1280 variant
+        # is in the queue-8 matrix)
+        default = 320 if conservative else (640 if social_freeze else 1280)
+        max_rows = int(os.environ.get("DESIRE_IOC_MAX_ROWS", default))
     if social_freeze and (conservative or not fused_loop):
         max_rows = min(max_rows, 256)
     best = 1
