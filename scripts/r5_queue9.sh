@@ -19,5 +19,9 @@ for row in "k20_rbfit --num_samples 20 --per_scene 1 --speed_bins 2,8,20" \
 done
 
 bash scripts/r5_probe_wait.sh
+timeout $T python scripts/bench_serve.py --save_dir save/r4_flagship3 \
+    --iters 32 2>>/tmp/r5_q9_err.log | tail -1
+
+bash scripts/r5_probe_wait.sh
 timeout $T python bench.py 2>/dev/null | tail -1
 echo R5_Q9_DONE
