@@ -846,6 +846,21 @@ def test_fused_ioc_social_tb_matches_per_step(tb, freeze, monkeypatch):
     np.testing.assert_array_equal(np.asarray(blk_s), np.asarray(base_s))
 
 
+def test_pick_chunk_row_defaults(monkeypatch):
+    """Round-5 row-cap defaults: inference 1280 (measured 53.1 vs 59.2 ms),
+    freeze inference 640 (probed 49.6), training/backward 320 (their sweep
+    pending); DESIRE_IOC_MAX_ROWS overrides everything."""
+    from desire_tpu.ops.ioc_fused import _pick_chunk
+    monkeypatch.delenv("DESIRE_IOC_MAX_ROWS", raising=False)
+    a = 64
+    assert _pick_chunk(20, a) * a == 1280                  # inference
+    assert _pick_chunk(20, a, conservative=True) * a == 320
+    assert _pick_chunk(20, a, social_freeze=True) * a == 640
+    assert _pick_chunk(50, a) * a == 640                   # K=50: kc|50
+    monkeypatch.setenv("DESIRE_IOC_MAX_ROWS", "320")
+    assert _pick_chunk(20, a) * a == 320
+
+
 @pytest.mark.parametrize("freeze", [False, True])
 def test_fused_ioc_social_kc_matches_dense(freeze, monkeypatch):
     """DESIRE_SOCIAL_KC (lane-block-BATCHED social attention: (kc, A, A)
