@@ -10,11 +10,30 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 D=/root/reference/data
 T=2400
 
-bash scripts/r5_probe_wait.sh
 rm -rf save/r5_img
-timeout 10800 python train.py --data_dir "$D" \
-    --num_epochs 40 --batch_size 64 --scene_image_channels 1 \
-    --save_dir save/r5_img 2>&1 | tail -3
+# tunnel-drop-robust: resume-retry until the run reaches 40 epochs (the
+# relay flaps every ~10 min some hours; checkpoints + --resume make the
+# train loop re-entrant)
+for attempt in 1 2 3 4 5 6 7 8; do
+  bash scripts/r5_probe_wait.sh
+  RES=$([ -f save/r5_img/config.json ] && echo "--resume 1" || echo "")
+  timeout 5400 python train.py --data_dir "$D" \
+      --num_epochs 40 --batch_size 64 --scene_image_channels 1 \
+      $RES --save_dir save/r5_img 2>&1 | tail -2
+  if python - <<'CHK'
+import json, sys
+done = False
+try:
+    for line in open('save/r5_img/metrics.jsonl'):
+        r = json.loads(line)
+        if r.get('event') == 'final_select':
+            done = True
+except FileNotFoundError:
+    pass
+sys.exit(0 if done else 1)
+CHK
+  then break; fi
+done
 
 for row in "k20 --num_samples 20 --per_scene 1 --speed_bins 2,8,20" \
            "k50 --num_samples 50 --per_scene 1"; do
