@@ -1040,8 +1040,10 @@ def ioc_refine_bwd(p_ioc, p_scf, traj, dec_h, msg, feat_map, live, fut_mask,
     batch_wgrad = _batch_wgrad_default()
     # lane-block-batched social (ioc_fused._social_kc_default): recompute +
     # softmax/position adjoints on (kc, A, A); the frozen-attention path
-    # keeps its deferred dense adjoint
-    kcb = _social_kc_default() and not band and not social_freeze
+    # keeps its deferred dense adjoint. kc >= 8 guard as in the forward
+    # (the batched form loses at small kc — r5 matrix).
+    kcb = (_social_kc_default() and kc >= 8
+           and not band and not social_freeze)
     kernel = functools.partial(
         _kernel, num_refine=nr, delta_scale=float(delta_scale),
         grid_g=int(g), cd=cd, a_dim=a, kc=kc,

@@ -713,9 +713,15 @@ def _pick_chunk(k, a_pad, max_rows=None, social_freeze=False,
         # (/tmp/r5_matrix.jsonl): the dense backward attention scratch is
         # (T, rows, rows) — 78 MB at 1280 rows — so big-row training needs
         # DESIRE_SOCIAL_KC.
-        # (freeze inference is probed at 640 — 49.6 ms — its 1280 variant
-        # is in the queue-8 matrix)
-        default = 320 if conservative else (640 if social_freeze else 1280)
+        # (freeze inference: 49.6 ms at 640 rows dense; 44.35 ms at 1280
+        # rows with the batched social — the dense 1280 freeze is unprobed,
+        # so the bigger default rides the DESIRE_SOCIAL_KC flag)
+        if conservative:
+            default = 320
+        elif social_freeze:
+            default = 1280 if _social_kc_default() else 640
+        else:
+            default = 1280
         max_rows = int(os.environ.get("DESIRE_IOC_MAX_ROWS", default))
     if social_freeze and (conservative or not fused_loop):
         max_rows = min(max_rows, 256)
@@ -775,15 +781,17 @@ def ioc_refine_fused(p_ioc, p_scf, traj, dec_h, msg, feat_map, live,
             and not _social_band_default() and _ablate_default() != "social"):
         tblock = max(dv for dv in range(1, min(tb_req, t) + 1)
                      if t % dv == 0)
+    kc = _pick_chunk(k, a, social_freeze=social_freeze,
+                     fused_loop=fused_loop, conservative=collect_iters)
     # lane-block-batched social attention (_social_kc_default): applies to
     # the inference AND collect_iters forwards (ioc_bwd mirrors it in the
     # backward recompute/adjoint); mutually exclusive with band/T-block/
-    # ablation
-    kcb = (_social_kc_default()
+    # ablation. kc >= 8 guard: the r5 matrix measured the batched form
+    # WINNING at kc=20 (51.65 vs 53.07 ms) and losing at kc=5 (60.5 vs
+    # 59.2) — the batched-dot overhead needs a big enough element saving.
+    kcb = (_social_kc_default() and kc >= 8
            and not _social_band_default() and tblock == 1
            and _ablate_default() != "social")
-    kc = _pick_chunk(k, a, social_freeze=social_freeze,
-                     fused_loop=fused_loop, conservative=collect_iters)
     chunks = k // kc
     rows = kc * a
     fmap_flat = feat_map.reshape(b, g * g, c)

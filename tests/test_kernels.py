@@ -580,7 +580,10 @@ def test_pallas_backward_ioc_gradient_parity(tent_mm, freeze, kcsoc,
     from desire_tpu.ops.ioc_fused import make_trainable_fused_ioc
     monkeypatch.setenv("DESIRE_TENT_MM", tent_mm)
     monkeypatch.setenv("DESIRE_SOCIAL_KC", kcsoc)
-    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    # the batched-social case needs kc >= 8 to clear the kernel's size
+    # guard; the baseline cases keep the small fast shapes
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env(
+        k=10 if kcsoc == "1" else 3)
     if freeze:
         cfg = cfg.replace(social_freeze=True)
     fused = make_trainable_fused_ioc(cfg, interpret=True, backward="pallas")
@@ -870,7 +873,10 @@ def test_fused_ioc_social_kc_matches_dense(freeze, monkeypatch):
     to exactly 0 there, so the two forms sum identical terms."""
     from desire_tpu.models.ioc import _DELTA_SCALE
     from desire_tpu.ops.ioc_fused import ioc_refine_fused
-    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env()
+    # k=10 agents=5: kc=10 clears the kc >= 8 guard (the batched form is
+    # gated off for small chunks where it measured slower)
+    cfg, p_ioc, p_scf, traj, dec_h, feat_map, live, fut_mask = _ioc_env(
+        k=10)
     msg = scf.social_messages(p_scf, dec_h)
 
     def run():
