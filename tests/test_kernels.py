@@ -587,7 +587,8 @@ def test_pallas_backward_ioc_gradient_parity(tent_mm, freeze, kcsoc,
     if freeze:
         cfg = cfg.replace(social_freeze=True)
     fused = make_trainable_fused_ioc(cfg, interpret=True, backward="pallas")
-    wts = jax.random.normal(jax.random.PRNGKey(9), live.shape + (3,))
+    wts = jax.random.normal(jax.random.PRNGKey(9),
+                            live.shape + (cfg.num_samples,))
 
     def loss_fused(p_ioc, p_scf, traj, dec_h, feat_map):
         refined, scores, iters = fused(p_ioc, p_scf, traj, dec_h,
