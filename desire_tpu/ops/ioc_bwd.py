@@ -676,12 +676,18 @@ def _kernel(lx_ref, ly_ref, dec_ref, msg_ref, fmap_ref, live_ref, fmask_ref,
                 sqa = xa * xa + ya * ya
                 d2v = (sqa + jnp.swapaxes(sqa, 1, 2)
                        - 2.0 * (xa * xat + ya * yat))
-                s3 = jnp.sum(d_l * d2v, axis=(1, 2), keepdims=True)
+                # full reduce via a 2D leading-merge view + keepdims row/col
+                # sums (Mosaic: mid/leading-axis 3D reductions trip a
+                # layout_rank assert when compiled; last-axis keepdims and
+                # 2D sums are the known-good forms)
+                ld = (d_l * d2v).reshape(rows, a_dim)
+                tot = jnp.sum(jnp.sum(ld, axis=-1, keepdims=True),
+                              axis=0, keepdims=True)         # (1, 1)
                 dltau_ref[0, 0, 0:1, 0:1] = dltau_ref[0, 0, 0:1, 0:1] + (
-                    jnp.sum(s3, axis=0) / (tau * tau) * jnp.exp(ltau))
+                    tot / (tau * tau) * jnp.exp(ltau))
                 rs = jnp.sum(d_d2, axis=-1, keepdims=True)   # (kc, A, 1)
-                cs = jnp.swapaxes(jnp.sum(d_d2, axis=1, keepdims=True),
-                                  1, 2)
+                cs = jnp.sum(jnp.swapaxes(d_d2, 1, 2), axis=-1,
+                             keepdims=True)                  # (kc, A, 1)
                 symm = d_d2 + jnp.swapaxes(d_d2, 1, 2)
                 mx = jax.lax.dot_general(
                     symm.astype(cd), xa.astype(cd),
