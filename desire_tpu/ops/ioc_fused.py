@@ -205,9 +205,12 @@ def _social_kc_default():
     dot_general — same math, ~kc x fewer VPU elements, no selection
     matmuls (the band variant's failure mode). Mathematically identical
     to the dense path (cross-block exp(-1e9) underflows to exactly 0);
-    parity-tested. Applies to the fused-loop inference forward (incl.
-    social_freeze pass-0); mutually exclusive with band/T-block."""
-    return os.environ.get("DESIRE_SOCIAL_KC", "0") == "1"
+    parity-tested. Applies where kc >= 8 (the batched-dot overhead needs a
+    big enough element saving — the r5 matrix measured 51.65 vs 53.07 ms
+    at kc=20/1280 rows WIN, 60.5 vs 59.2 ms at kc=5/320 rows LOSS, and
+    44.35 ms with social_freeze at 1280); mutually exclusive with
+    band/T-block. DEFAULT ON since round 5."""
+    return os.environ.get("DESIRE_SOCIAL_KC", "1") == "1"
 
 
 def _fused_loop_default():
@@ -721,7 +724,10 @@ def _pick_chunk(k, a_pad, max_rows=None, social_freeze=False,
         elif social_freeze:
             default = 1280 if _social_kc_default() else 640
         else:
-            default = 1280
+            # 1600 only matters for K > 20 (K=20 tops out at the whole-K
+            # 1280-row chunk): K=50 measured 130.9 ms at kc=25/1600 rows
+            # (batched social) vs 135.4 at kc=10/640 dense
+            default = 1600 if _social_kc_default() else 1280
         max_rows = int(os.environ.get("DESIRE_IOC_MAX_ROWS", default))
     if social_freeze and (conservative or not fused_loop):
         max_rows = min(max_rows, 256)

@@ -857,10 +857,14 @@ def test_pick_chunk_row_defaults(monkeypatch):
     from desire_tpu.ops.ioc_fused import _pick_chunk
     monkeypatch.delenv("DESIRE_IOC_MAX_ROWS", raising=False)
     a = 64
-    assert _pick_chunk(20, a) * a == 1280                  # inference
+    monkeypatch.setenv("DESIRE_SOCIAL_KC", "1")   # round-5 default
+    assert _pick_chunk(20, a) * a == 1280                  # whole-K chunk
     assert _pick_chunk(20, a, conservative=True) * a == 320
+    assert _pick_chunk(20, a, social_freeze=True) * a == 1280
+    assert _pick_chunk(50, a) * a == 1600                  # kc=25 (batched)
+    monkeypatch.setenv("DESIRE_SOCIAL_KC", "0")   # dense fallbacks
     assert _pick_chunk(20, a, social_freeze=True) * a == 640
-    assert _pick_chunk(50, a) * a == 640                   # K=50: kc|50
+    assert _pick_chunk(50, a) * a == 640                   # kc|50 at 1280
     monkeypatch.setenv("DESIRE_IOC_MAX_ROWS", "320")
     assert _pick_chunk(20, a) * a == 320
 
