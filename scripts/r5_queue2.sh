@@ -6,6 +6,12 @@
 # trained WGRAD=0-era like the round-5 defaults).
 set -x
 cd /root/repo
+# idempotence: an earlier chain already completed this queue
+if [ -s save/r5_img/eval_best_k50.json ]; then
+  echo "r5_img already trained+evaled; skipping"
+  echo R5_Q2_DONE
+  exit 0
+fi
 export PYTHONPATH=/root/repo:/root/.axon_site
 D=/root/reference/data
 T=2400
